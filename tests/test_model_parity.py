@@ -1,0 +1,161 @@
+"""End-to-end numerical parity: JAX MewZoom vs the reference torch model.
+
+The BASELINE.json north star demands >=40 dB PSNR vs the torch reference; in
+f32 with HIGHEST matmul precision we target far tighter (~1e-5 abs).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import (
+    build_reference_mewzoom,
+    reference_available,
+)
+from ultrazoom_tpu.convert import torch_state_dict_to_tree
+from ultrazoom_tpu.models import unet
+from ultrazoom_tpu.nn import materialize
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference snapshot or torch unavailable"
+)
+
+
+def _forward_torch(model, x_nchw):
+    import torch
+
+    with torch.inference_mode():
+        sr, qa = model.forward(torch.from_numpy(x_nchw))
+    return sr.numpy(), qa.numpy()
+
+
+def _forward_jax(params, cfg, x_nchw):
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    sr, qa = unet.apply(params, x, cfg)
+    return np.transpose(np.asarray(sr), (0, 3, 1, 2)), np.asarray(qa)
+
+
+def _psnr(a, b):
+    mse = np.mean((a - b) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-20))
+
+
+@pytest.mark.parametrize("ratio,size", [(2, 24), (4, 16), (8, 16)])
+def test_forward_parity_plain(ratio, size):
+    model, args = build_reference_mewzoom(seed=ratio, upscale_ratio=ratio)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict())
+
+    rng = np.random.default_rng(ratio)
+    x = rng.uniform(0, 1, size=(2, 3, size, size)).astype(np.float32)
+
+    ref_sr, ref_qa = _forward_torch(model, x)
+    got_sr, got_qa = _forward_jax(params, cfg, x)
+
+    assert got_sr.shape == ref_sr.shape == (2, 3, size * ratio, size * ratio)
+    np.testing.assert_allclose(got_sr, ref_sr, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_qa, ref_qa, atol=1e-4, rtol=1e-4)
+    assert _psnr(got_sr, ref_sr) > 80.0  # way past the 40 dB north star
+
+
+def test_forward_parity_odd_size():
+    """Exercises the decoder crop/pad path (non-multiple-of-8 inputs)."""
+    model, args = build_reference_mewzoom(seed=7)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict())
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, size=(1, 3, 21, 27)).astype(np.float32)
+
+    ref_sr, _ = _forward_torch(model, x)
+    got_sr, _ = _forward_jax(params, cfg, x)
+    np.testing.assert_allclose(got_sr, ref_sr, atol=1e-4, rtol=1e-4)
+
+
+def test_forward_parity_weight_norm_fold():
+    """Checkpoints are saved in weight-norm form; converter must fold g/v."""
+    model, args = build_reference_mewzoom(seed=3)
+    model.add_weight_norms()
+    model.eval()
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict(), fold=True)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, size=(1, 3, 16, 16)).astype(np.float32)
+    ref_sr, ref_qa = _forward_torch(model, x)
+    got_sr, got_qa = _forward_jax(params, cfg, x)
+    np.testing.assert_allclose(got_sr, ref_sr, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_qa, ref_qa, atol=2e-4, rtol=1e-4)
+
+
+def test_forward_parity_weight_norm_unfolded_factors():
+    """fold=False keeps (g, v) factors; materialize() must reproduce torch."""
+    model, args = build_reference_mewzoom(seed=4)
+    model.add_weight_norms()
+    model.eval()
+    cfg = unet.MewZoomConfig.from_dict(args)
+    factored, _ = torch_state_dict_to_tree(model.state_dict(), fold=False)
+    params = materialize(factored)
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, size=(1, 3, 16, 16)).astype(np.float32)
+    ref_sr, _ = _forward_torch(model, x)
+    got_sr, _ = _forward_jax(params, cfg, x)
+    np.testing.assert_allclose(got_sr, ref_sr, atol=2e-4, rtol=1e-4)
+
+
+def test_forward_parity_lora():
+    """LoRA adapters (randn A, zero B is identity — perturb B to test)."""
+    import torch
+
+    model, args = build_reference_mewzoom(seed=5)
+    model.add_weight_norms()
+    model.add_lora_adapters(rank=2, alpha=0.5)
+    # Zero B makes LoRA an identity; randomize to exercise the delta path.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "lora_b" in name:
+                p.copy_(0.1 * torch.randn_like(p))
+    model.eval()
+
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(
+        model.state_dict(), fold=True, lora_alpha=0.5
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, size=(1, 3, 16, 16)).astype(np.float32)
+    ref_sr, _ = _forward_torch(model, x)
+    got_sr, _ = _forward_jax(params, cfg, x)
+    np.testing.assert_allclose(got_sr, ref_sr, atol=2e-4, rtol=1e-4)
+
+
+def test_upscale_clamps():
+    model, args = build_reference_mewzoom(seed=6)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict())
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 12, 12, 3)).astype(np.float32))
+    out = unet.upscale(params, x, cfg)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_remat_matches_plain():
+    model, args = build_reference_mewzoom(seed=8)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict())
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 16, 16, 3)).astype(np.float32))
+    a, qa_a = unet.apply(params, x, cfg, remat=False)
+    b, qa_b = unet.apply(params, x, cfg, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_param_count_matches_torch():
+    model, args = build_reference_mewzoom(seed=9)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params = unet.init(jax.random.key(0), cfg)
+    n_jax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    n_torch = sum(p.numel() for p in model.parameters())
+    assert n_jax == n_torch
