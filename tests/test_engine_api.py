@@ -1,0 +1,137 @@
+"""Tests: overlap-tile engine, high-level API, HF save/load roundtrips."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ultrazoom_tpu.engine import TiledUpscaler
+from ultrazoom_tpu.models import MewZoom, MewZoomCtrl, from_pretrained, unet
+
+
+def _tiny_unet(seed=0, ratio=2):
+    cfg = unet.MewZoomConfig(
+        upscale_ratio=ratio,
+        primary_channels=8,
+        primary_layers=2,
+        secondary_channels=12,
+        secondary_layers=2,
+        tertiary_channels=16,
+        tertiary_layers=2,
+        quaternary_channels=24,
+        quaternary_layers=2,
+    )
+    return MewZoom.from_config(cfg, seed=seed)
+
+
+def test_tiled_matches_whole_image_bicubic_identity():
+    """With an identity-ish fn (pure bicubic), tiling must be exact."""
+    from ultrazoom_tpu.ops import upsample2d
+
+    scale = 2
+    eng = TiledUpscaler(lambda x: upsample2d(x, scale), scale, tile=32, overlap=8)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (50, 70, 3)).astype(np.float32)
+    whole = np.asarray(upsample2d(jnp.asarray(img)[None], scale))[0]
+    tiled = eng(img)
+    assert tiled.shape == whole.shape == (100, 140, 3)
+    # Interior matches exactly; borders differ only due to reflect padding
+    # (the whole-image bicubic clamps at the true border, tiles reflect).
+    np.testing.assert_allclose(tiled[8:-8, 8:-8], whole[8:-8, 8:-8], atol=1e-5)
+
+
+def test_tiled_model_interior_matches_whole():
+    model = _tiny_unet()
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+    whole = np.asarray(model.upscale(img))
+    tiled = model.upscale(img, tile=24, overlap=8, tile_batch=4)
+    assert tiled.shape == whole.shape
+    # Receptive field of the tiny net exceeds the halo, so compare loosely
+    # in the interior: the overwhelming majority of pixels must agree.
+    diff = np.abs(tiled[16:-16, 16:-16] - whole[16:-16, 16:-16])
+    assert np.quantile(diff, 0.9) < 5e-3
+
+
+def test_tiled_mesh_sharded_runs():
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    model = _tiny_unet()
+    eng = model.tiled(tile=16, overlap=4, tile_batch=len(devs), mesh=mesh)
+    img = np.random.default_rng(2).uniform(0, 1, (33, 47, 3)).astype(np.float32)
+    out = eng(img)
+    assert out.shape == (66, 94, 3)
+
+
+def test_api_roundtrip_unet(tmp_path):
+    model = _tiny_unet(seed=4)
+    x = np.random.default_rng(4).uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    y0 = np.asarray(model.upscale(x))
+    model.save_pretrained(tmp_path / "m")
+    loaded = from_pretrained(tmp_path / "m")
+    assert isinstance(loaded, MewZoom)
+    y1 = np.asarray(loaded.upscale(x))
+    np.testing.assert_allclose(y0, y1, atol=1e-6)
+
+
+def test_api_dispatch_ctrl(tmp_path):
+    model = MewZoomCtrl.from_config(
+        MewZoomCtrl.Config(upscale_ratio=2, num_channels=8, num_layers=2), seed=5
+    )
+    model.save_pretrained(tmp_path / "c")
+    loaded = from_pretrained(tmp_path / "c")
+    assert isinstance(loaded, MewZoomCtrl)
+
+
+def test_api_accepts_nchw():
+    model = _tiny_unet(seed=6)
+    x = np.random.default_rng(6).uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)
+    y = model.upscale(x)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_weight_norm_api_identity():
+    model = _tiny_unet(seed=7)
+    x = np.random.default_rng(7).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    y0 = np.asarray(model.upscale(x))
+    model.add_weight_norms()
+    y1 = np.asarray(model.upscale(x))
+    model.remove_parameterizations()
+    y2 = np.asarray(model.upscale(x))
+    np.testing.assert_allclose(y0, y1, atol=1e-5)
+    np.testing.assert_allclose(y0, y2, atol=1e-5)
+
+
+def test_lora_api_starts_as_identity():
+    model = _tiny_unet(seed=8)
+    x = np.random.default_rng(8).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    y0 = np.asarray(model.upscale(x))
+    model.add_lora_adapters(rank=2, alpha=1.0)
+    y1 = np.asarray(model.upscale(x))
+    np.testing.assert_allclose(y0, y1, atol=1e-6)
+
+
+def test_reference_torch_checkpoint_loader(tmp_path):
+    """Round-trip through the reference's .pt checkpoint schema."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tests") if "tests" not in sys.path else None
+    from reference_oracle import build_reference_mewzoom, reference_available
+
+    if not reference_available():
+        pytest.skip("reference snapshot unavailable")
+
+    ref, args = build_reference_mewzoom(seed=11)
+    ckpt = {"epoch": 1, "upscaler_args": args, "upscaler": ref.state_dict()}
+    torch.save(ckpt, tmp_path / "ckpt.pt")
+
+    model = MewZoom.from_torch_checkpoint(tmp_path / "ckpt.pt")
+    x = np.random.default_rng(11).uniform(0, 1, (1, 3, 12, 12)).astype(np.float32)
+    with torch.inference_mode():
+        ref_y = ref.upscale(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.upscale(x))  # NCHW in -> NHWC out (batched)
+    np.testing.assert_allclose(
+        np.transpose(got[0], (2, 0, 1)), ref_y[0], atol=1e-4, rtol=1e-4
+    )

@@ -1,0 +1,141 @@
+"""Streaming overlap-tile inference engine.
+
+The reference has no tiling: every image size hits a fresh ONNX/torch graph
+(dynamic H/W, export_model.ipynb cell-9).  On TPU, compiled shapes are
+static, so arbitrary-size inference is restructured as **overlap-tile
+decomposition** (the spatial analog of sequence parallelism — SURVEY.md
+section 5.7):
+
+* the LR image is reflect-padded and cut into fixed ``tile x tile`` patches
+  whose interiors (``tile - 2*overlap``) exactly tile the image;
+* patches run through ONE compiled graph in fixed-size batches (a ragged
+  tail is padded), so any 4K->8K stream reuses the same executable;
+* each SR tile's core is cropped (the ``overlap * scale`` halo absorbs
+  receptive-field truncation at tile borders) and written into the output.
+
+``overlap`` >= the network's effective receptive-field halo makes tiled
+output match whole-image output to float tolerance in the interior; the
+default (16 LR px) is conservative for the flat Ctrl body and nearly exact
+for the U-Net (whose 1/8-resolution stages see a wider field — raise it for
+bitwise-critical work).
+
+Multi-chip: pass a ``jax.sharding.Mesh`` and tile batches are sharded across
+its ``data`` axis (pure data parallelism over tiles; XLA inserts nothing but
+the initial scatter and final gather over ICI).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["TiledUpscaler"]
+
+
+class TiledUpscaler:
+    """Upscale images of any size through one fixed-shape compiled graph.
+
+    Args:
+        upscale_fn: ``f(x: (B, tile, tile, 3)) -> (B, tile*scale, tile*scale, 3)``
+            — typically ``partial(model.upscale, params, cfg=cfg)``.  Jitted
+            internally; must be shape-polymorphic only in batch via re-jit.
+        scale: the model's upscale ratio.
+        tile: LR tile size (multiple of 8 keeps the U-Net crop/pad path
+            inert; 256 saturates the MXU on v5e for the 14M model).
+        overlap: LR halo cropped from every tile border before stitching.
+        tile_batch: tiles per device step.
+        mesh: optional Mesh; tile batches are sharded over its first axis.
+    """
+
+    def __init__(
+        self,
+        upscale_fn: Callable,
+        scale: int,
+        tile: int = 256,
+        overlap: int = 16,
+        tile_batch: int = 8,
+        mesh: Mesh | None = None,
+    ):
+        assert tile > 2 * overlap >= 0
+        self.scale = scale
+        self.tile = tile
+        self.overlap = overlap
+        self.tile_batch = tile_batch
+        self.mesh = mesh
+
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            in_s = NamedSharding(mesh, P(axis))
+            self._fn = jax.jit(upscale_fn, in_shardings=in_s, out_shardings=in_s)
+        else:
+            self._fn = jax.jit(upscale_fn)
+
+    # -- geometry -----------------------------------------------------------
+
+    def _grid(self, h: int, w: int):
+        core = self.tile - 2 * self.overlap
+        ny = max(1, math.ceil(h / core))
+        nx = max(1, math.ceil(w / core))
+        return core, ny, nx
+
+    def __call__(self, image: jax.Array | np.ndarray) -> np.ndarray:
+        """Upscale (H, W, 3) or (N, H, W, 3); returns numpy at scale x size."""
+        img = np.asarray(image)
+        if img.ndim == 3:
+            return self._one(img)
+        return np.stack([self._one(im) for im in img])
+
+    def _one(self, img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        s, ov, tile = self.scale, self.overlap, self.tile
+        core, ny, nx = self._grid(h, w)
+
+        # Reflect-pad: overlap halo on top/left, and grow bottom/right so
+        # cores exactly cover the padded area.
+        pad_h = ov + (ny * core - h) + ov
+        pad_w = ov + (nx * core - w) + ov
+        padded = np.pad(
+            img, ((ov, pad_h - ov), (ov, pad_w - ov), (0, 0)), mode="reflect"
+        )
+
+        # Gather LR tiles.
+        tiles = np.empty((ny * nx, tile, tile, c), img.dtype)
+        k = 0
+        for iy in range(ny):
+            for ix in range(nx):
+                y0, x0 = iy * core, ix * core
+                tiles[k] = padded[y0 : y0 + tile, x0 : x0 + tile]
+                k += 1
+
+        sr_tiles = self._run_batched(tiles)
+
+        # Stitch cores.
+        out = np.empty((ny * core * s, nx * core * s, c), sr_tiles.dtype)
+        k = 0
+        ovs, cores = ov * s, core * s
+        for iy in range(ny):
+            for ix in range(nx):
+                out[
+                    iy * cores : (iy + 1) * cores, ix * cores : (ix + 1) * cores
+                ] = sr_tiles[k][ovs : ovs + cores, ovs : ovs + cores]
+                k += 1
+        return out[: h * s, : w * s]
+
+    def _run_batched(self, tiles: np.ndarray) -> np.ndarray:
+        n = tiles.shape[0]
+        b = self.tile_batch
+        n_pad = math.ceil(n / b) * b
+        if n_pad != n:
+            tiles = np.concatenate(
+                [tiles, np.zeros((n_pad - n, *tiles.shape[1:]), tiles.dtype)]
+            )
+        outs = []
+        for i in range(0, n_pad, b):
+            outs.append(np.asarray(self._fn(jnp.asarray(tiles[i : i + b]))))
+        return np.concatenate(outs)[:n]
