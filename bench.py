@@ -1,0 +1,70 @@
+"""Headline benchmark: megapixels/sec at 4X upscale on one TPU chip.
+
+Config matches BASELINE.json config #3: the 14M-param 4X model
+(MewZoom-4X Ctrl architecture, 96ch x 40 layers) on 512x512 inputs,
+batch 8, bf16 compute.  ``vs_baseline`` is the ratio to the reference
+implementation's measured 0.016 input-MP/s on this task (BASELINE.md —
+the reference publishes no numbers of its own; north star is >=5x).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_MPS = 0.016  # BASELINE.md: measured 4X reference throughput (CPU)
+BATCH = 8
+SIZE = 512
+ITERS = 10
+
+
+def main() -> None:
+    from ultrazoom_tpu.models import ctrl
+
+    cfg = ctrl.PRESETS["4x"]  # 96ch / 40 layers / 4X -> ~14M params
+    params = ctrl.init(jax.random.key(0), cfg)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (BATCH, SIZE, SIZE, 3)), jnp.float32)
+    c = jnp.tile(jnp.asarray([[0.5, 0.2, 0.3]], jnp.float32), (BATCH, 1))
+
+    fn = jax.jit(
+        lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
+    )
+    # Warmup / compile.
+    jax.block_until_ready(fn(params, x, c))
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, x, c))
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    mps = (BATCH * SIZE * SIZE / 1e6) / dt  # input megapixels per second
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"input-MP/s, 4X upscale, {n_params / 1e6:.1f}M-param Ctrl "
+                    f"model, {SIZE}x{SIZE} batch {BATCH}, bf16, 1 chip "
+                    f"({jax.devices()[0].device_kind})"
+                ),
+                "value": round(mps, 3),
+                "unit": "MP/s",
+                "vs_baseline": round(mps / REFERENCE_MPS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

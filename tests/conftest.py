@@ -10,7 +10,12 @@ process, which is why this lives at the top of conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the driver environment presets JAX_PLATFORMS=axon (TPU)
+# and a sitecustomize registers the axon PJRT plugin in every interpreter;
+# the test suite must run on the virtual multi-device CPU backend.  Setting
+# the env var alone is NOT enough (the plugin registration wins), so also
+# update the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +24,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

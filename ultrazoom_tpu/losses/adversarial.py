@@ -1,0 +1,59 @@
+"""GAN and multitask losses (pure functions).
+
+Reference: loss.py:54-145.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "bce_with_logits",
+    "relativistic_bce",
+    "balanced_multitask",
+    "adaptive_multitask",
+    "adaptive_multitask_init",
+]
+
+
+def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Numerically-stable mean BCE-with-logits (torch semantics)."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def relativistic_bce(
+    y_pred_real: jax.Array,
+    y_pred_fake: jax.Array,
+    y_real: jax.Array,
+    y_fake: jax.Array,
+) -> jax.Array:
+    """RaGAN: BCE on (real - mean(fake)) and (fake - mean(real)) against the
+    given labels (reference loss.py:64-79; both shifts use the *original*
+    means)."""
+    real_hat = y_pred_real - jnp.mean(y_pred_fake)
+    fake_hat = y_pred_fake - jnp.mean(y_pred_real)
+    logits = jnp.concatenate([real_hat, fake_hat], axis=0)
+    labels = jnp.concatenate([y_real, y_fake], axis=0)
+    return bce_with_logits(logits, labels)
+
+
+def balanced_multitask(losses: jax.Array) -> jax.Array:
+    """sum(l_i / stop_grad(l_i)) — every task's gradient normalised to equal
+    magnitude; the value is always the number of tasks (loss.py:82-93)."""
+    return jnp.sum(losses / jax.lax.stop_gradient(losses))
+
+
+def adaptive_multitask_init(num_losses: int) -> dict:
+    return {"log_sigmas": jnp.zeros((num_losses,), jnp.float32)}
+
+
+def adaptive_multitask(params: dict, losses: jax.Array) -> jax.Array:
+    """Kendall homoscedastic-uncertainty weighting with learnable log-sigmas
+    (loss.py:96-145): sum(0.5 * exp(-2s) * l + s)."""
+    s = params["log_sigmas"]
+    return jnp.sum(0.5 * jnp.exp(-2.0 * s) * losses + s)

@@ -199,34 +199,40 @@ def _flatten_out_first(w: jax.Array) -> jax.Array:
     return jnp.transpose(w, (3, 0, 1, 2)).reshape(o, kh * kw * i)
 
 
-def spectral_init_state(params: Params, key: jax.Array) -> Params:
+def spectral_init_state(
+    params: Params, key: jax.Array, should_norm=lambda path: True
+) -> Params:
     """Per-weight left singular vector estimates ``u``, N(0,1)-normalised.
 
     Mirrors torch ``spectral_norm``'s buffer layout: one u of shape (O,)
     per parametrized weight.  Returned tree has the same dict/list structure
-    as ``params`` with a ``u`` array wherever there is a weight.
+    as ``params`` with a ``u`` array wherever there is a normed weight and
+    ``None`` elsewhere.  ``should_norm(path_tuple)`` selects which weights
+    participate (e.g. the Bouncer excludes ARM gate convs).
     """
     counter = [0]
 
-    def rec(node):
+    def rec(node, path):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
-                if k == "weight":
+                if k == "weight" and should_norm(path + (k,)):
                     w = v["v"] if _is_wn(v) else v
                     o = w.shape[-1]
                     kk = jax.random.fold_in(key, counter[0])
                     counter[0] += 1
                     u = jax.random.normal(kk, (o,), jnp.float32)
                     out[k] = u / jnp.linalg.norm(u)
+                elif k == "weight":
+                    out[k] = None
                 else:
-                    out[k] = rec(v)
+                    out[k] = rec(v, path + (k,))
             return out
         if isinstance(node, (list, tuple)):
-            return type(node)(rec(v) for v in node)
-        return node
+            return type(node)(rec(v, path + (i,)) for i, v in enumerate(node))
+        return None
 
-    return rec(params)
+    return rec(params, ())
 
 
 def spectral_materialize(
@@ -251,9 +257,14 @@ def spectral_materialize(
             p_out, s_out = {}, {}
             for k, v in p_node.items():
                 if k == "weight":
+                    u = s_node[k] if isinstance(s_node, dict) else None
+                    if u is None:
+                        p_out[k] = v
+                        if isinstance(s_node, dict):
+                            s_out[k] = None
+                        continue
                     w = materialize(v) if isinstance(v, dict) else v
                     mat = _flatten_out_first(w.astype(jnp.float32))
-                    u = s_node[k]
                     if update:
                         for _ in range(n_iters):
                             vv = norm(mat.T @ u)

@@ -1,0 +1,17 @@
+from ultrazoom_tpu.train.steps import (
+    GanTrainState,
+    TrainState,
+    make_eval_step,
+    make_finetune_step,
+    make_optimizer,
+    make_pretrain_step,
+)
+
+__all__ = [
+    "GanTrainState",
+    "TrainState",
+    "make_eval_step",
+    "make_finetune_step",
+    "make_optimizer",
+    "make_pretrain_step",
+]

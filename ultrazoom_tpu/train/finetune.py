@@ -1,0 +1,247 @@
+"""Stage-2 adversarial fine-tuning CLI.
+
+Reference: fine-tune.py (flags at :41-78, loop at :240-330).  Loads a
+stage-1 checkpoint, builds a Bouncer critic with spectral norm, and runs the
+two-phase RaGAN step (see train/steps.py).  Convergence is monitored with
+RelativisticF1 — fully optimized when the critic's F1 pegs near 0.5
+(README.md:327).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrazoom_tpu.data import (
+    AugmentConfig,
+    BatchLoader,
+    DegradationConfig,
+    ImageFolder,
+)
+from ultrazoom_tpu.metrics import RelativisticF1, psnr, ssim, vif
+from ultrazoom_tpu.models import bouncer, unet
+from ultrazoom_tpu.nn.transforms import (
+    spectral_init_state,
+    spectral_materialize,
+)
+from ultrazoom_tpu.parallel import jit_data_parallel, make_mesh, shard_batch
+from ultrazoom_tpu.train.steps import (
+    GanTrainState,
+    TrainState,
+    make_eval_step,
+    make_finetune_step,
+    make_optimizer,
+)
+from ultrazoom_tpu.utils import ScalarLogger, latest_meta, restore_state, save_state
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MewZoom-TPU stage-2 GAN fine-tuning")
+    p.add_argument("--base_checkpoint_path", required=True)
+    p.add_argument("--train_images_path", default="./dataset/train")
+    p.add_argument("--test_images_path", default="./dataset/test")
+    p.add_argument("--num_dataset_processes", type=int, default=8)
+    p.add_argument("--target_resolution", type=int, default=512)
+    p.add_argument("--min_gaussian_blur", type=float, default=0.0)
+    p.add_argument("--max_gaussian_blur", type=float, default=1.0)
+    p.add_argument("--min_gaussian_noise", type=float, default=0.0)
+    p.add_argument("--max_gaussian_noise", type=float, default=0.1)
+    p.add_argument("--min_compression", type=float, default=0.0)
+    p.add_argument("--max_compression", type=float, default=0.8)
+    p.add_argument("--brightness_jitter", type=float, default=0.1)
+    p.add_argument("--contrast_jitter", type=float, default=0.1)
+    p.add_argument("--saturation_jitter", type=float, default=0.1)
+    p.add_argument("--hue_jitter", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=16)
+    p.add_argument("--upscaler_learning_rate", type=float, default=1e-4)
+    p.add_argument("--upscaler_max_gradient_norm", type=float, default=1.0)
+    p.add_argument("--critic_learning_rate", type=float, default=5e-4)
+    p.add_argument("--critic_max_gradient_norm", type=float, default=5.0)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--critic_warmup_epochs", type=int, default=1)
+    p.add_argument(
+        "--critic_model_size", default="small", choices=("small", "medium", "large")
+    )
+    p.add_argument("--activation_checkpointing", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=2)
+    p.add_argument("--checkpoint_interval", type=int, default=2)
+    p.add_argument("--checkpoint_path", default="./checkpoints/finetune")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run_dir_path", default="./runs")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--compute_dtype", default="bfloat16", choices=("bfloat16", "float32")
+    )
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    seed = args.seed if args.seed is not None else random.randrange(2**31)
+
+    base_meta = latest_meta(args.base_checkpoint_path)
+    assert base_meta is not None, (
+        f"No checkpoint at {args.base_checkpoint_path} (expected a directory "
+        "written by the pretrain CLI)."
+    )
+    cfg = unet.MewZoomConfig.from_dict(base_meta["upscaler_args"])
+
+    # Rebuild the pretrain state skeleton to restore into, then keep params.
+    u_params = unet.init(jax.random.key(0), cfg)
+    base_opt = make_optimizer(1.0)
+    base_state = TrainState(
+        u_params, base_opt.init(u_params), jnp.zeros((), jnp.int32)
+    )
+    base_state, _ = restore_state(args.base_checkpoint_path, base_state)
+    u_params = base_state.params
+
+    c_cfg = bouncer.PRESETS[args.critic_model_size]
+    c_params = bouncer.init(jax.random.key(seed + 1), c_cfg)
+    sn_state = spectral_init_state(
+        c_params, jax.random.key(seed + 2), bouncer.spectral_norm_paths
+    )
+
+    u_opt = make_optimizer(
+        args.upscaler_learning_rate, args.upscaler_max_gradient_norm,
+        args.gradient_accumulation_steps,
+    )
+    c_opt = make_optimizer(
+        args.critic_learning_rate, args.critic_max_gradient_norm,
+        args.gradient_accumulation_steps,
+    )
+    state = GanTrainState(
+        u_params, u_opt.init(u_params), c_params, c_opt.init(c_params),
+        sn_state, jnp.zeros((), jnp.int32),
+    )
+    start_epoch = 1
+    if args.resume:
+        state, meta = restore_state(args.checkpoint_path, state)
+        start_epoch = meta["epoch"] + 1
+        print(f"Resumed fine-tuning from epoch {meta['epoch']}.")
+
+    compute_dtype = (
+        jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    )
+    step_fn = make_finetune_step(
+        cfg, c_cfg, u_opt, c_opt,
+        remat=args.activation_checkpointing, compute_dtype=compute_dtype,
+    )
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        from ultrazoom_tpu.parallel.mesh import batch_sharded, replicated
+
+        step = jax.jit(
+            step_fn,
+            static_argnames="warmup",
+            in_shardings=(replicated(mesh), batch_sharded(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+        )
+        put = partial(shard_batch, mesh)
+    else:
+        step = jax.jit(step_fn, static_argnames="warmup")
+        put = lambda b: jax.tree.map(jnp.asarray, b)
+
+    deg = DegradationConfig(
+        args.min_gaussian_blur, args.max_gaussian_blur,
+        args.min_gaussian_noise, args.max_gaussian_noise,
+        args.min_compression, args.max_compression,
+    )
+    aug = AugmentConfig(
+        args.target_resolution, args.brightness_jitter, args.contrast_jitter,
+        args.saturation_jitter, args.hue_jitter,
+    )
+    train_ds = ImageFolder(
+        args.train_images_path, args.target_resolution, cfg.upscale_ratio, deg, aug
+    )
+    test_ds = ImageFolder(
+        args.test_images_path, args.target_resolution, cfg.upscale_ratio, deg,
+        AugmentConfig(args.target_resolution, 0, 0, 0, 0, horizontal_flip=False),
+    )
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, seed=seed, num_workers=args.num_dataset_processes
+    )
+    test_loader = BatchLoader(
+        test_ds, args.batch_size, seed=seed, shuffle=False,
+        num_workers=args.num_dataset_processes,
+    )
+
+    eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+    def _critic_logit(cp, sn, x):
+        mat, _ = spectral_materialize(cp, sn, update=False)
+        return bouncer.apply(mat, x, compute_dtype=compute_dtype)[-1]
+
+    critic_fn = jax.jit(_critic_logit)
+    logger = ScalarLogger(args.run_dir_path)
+    f1 = RelativisticF1()
+
+    for epoch in range(start_epoch, args.num_epochs + 1):
+        warmup = epoch <= args.critic_warmup_epochs
+        sums: dict[str, jax.Array] = {}
+        n = 0
+        for batch in train_loader:
+            state, metrics = step(state, put(batch), warmup=warmup)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        means = {k: float(v) / n for k, v in sums.items()}
+        for k, v in means.items():
+            logger.add_scalar(f"finetune/{k}", v, epoch)
+        print(
+            f"Epoch {epoch}{' (warmup)' if warmup else ''}: "
+            + ", ".join(f"{k}: {v:.5g}" for k, v in sorted(means.items()))
+        )
+
+        if epoch % args.eval_interval == 0:
+            f1.reset()
+            ps_s = ss_s = vf_s = 0.0
+            m = 0
+            for batch in test_loader:
+                x = jnp.asarray(batch["x"])
+                y = jnp.asarray(batch["y"])
+                sr, _ = eval_fn(state.u_params, x)
+                pred_fake = np.asarray(critic_fn(state.c_params, state.sn_state, sr))
+                pred_real = np.asarray(critic_fn(state.c_params, state.sn_state, y))
+                f1.update(
+                    pred_real, pred_fake,
+                    np.ones_like(pred_real), np.zeros_like(pred_fake),
+                )
+                ps_s += float(psnr(sr, y))
+                ss_s += float(ssim(sr, y))
+                vf_s += float(vif(sr, y))
+                m += 1
+            if m:
+                score, precision, recall = f1.compute()
+                logger.add_scalar("eval/psnr", ps_s / m, epoch)
+                logger.add_scalar("eval/ssim", ss_s / m, epoch)
+                logger.add_scalar("eval/vif", vf_s / m, epoch)
+                logger.add_scalar("eval/critic_f1", score, epoch)
+                print(
+                    f"Eval {epoch}: PSNR {ps_s / m:.3f}, SSIM {ss_s / m:.4f}, "
+                    f"VIF {vf_s / m:.4f}, critic F1 {score:.3f} "
+                    f"(P {precision:.3f} / R {recall:.3f})"
+                )
+
+        if epoch % args.checkpoint_interval == 0:
+            save_state(
+                args.checkpoint_path,
+                state,
+                {
+                    "epoch": epoch,
+                    "upscaler_args": cfg.to_dict(),
+                    "critic_args": c_cfg.to_dict(),
+                    "seed": seed,
+                },
+            )
+            print(f"Checkpoint saved at epoch {epoch}.")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

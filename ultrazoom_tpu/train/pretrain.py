@@ -1,0 +1,220 @@
+"""Stage-1 pretraining CLI.
+
+Flag names match the reference (``pretrain.py:39-84`` / README.md:284-323)
+for muscle-memory compatibility; the loop itself is TPU-native: one jitted
+step (forward + losses + grads + clip + AdamW + accumulation), scalars
+accumulated on device and pulled once per epoch, batch data-parallel over a
+device mesh when more than one chip is visible.
+
+Usage::
+
+    python -m ultrazoom_tpu.train.pretrain --train_images_path ./dataset/train \
+        --test_images_path ./dataset/test --upscale_ratio 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrazoom_tpu.data import (
+    AugmentConfig,
+    BatchLoader,
+    DegradationConfig,
+    ImageFolder,
+)
+from ultrazoom_tpu.losses import init_vgg19_features
+from ultrazoom_tpu.metrics import psnr, ssim, vif
+from ultrazoom_tpu.models import unet
+from ultrazoom_tpu.ops import upsample2d
+from ultrazoom_tpu.parallel import jit_data_parallel, make_mesh, shard_batch
+from ultrazoom_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_pretrain_step,
+)
+from ultrazoom_tpu.utils import ScalarLogger, restore_state, save_state
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MewZoom-TPU stage-1 pretraining")
+    p.add_argument("--train_images_path", default="./dataset/train")
+    p.add_argument("--test_images_path", default="./dataset/test")
+    p.add_argument("--num_dataset_processes", type=int, default=8)
+    p.add_argument("--target_resolution", type=int, default=256)
+    p.add_argument("--upscale_ratio", type=int, default=2, choices=(2, 4, 8))
+    p.add_argument("--min_gaussian_blur", type=float, default=0.0)
+    p.add_argument("--max_gaussian_blur", type=float, default=1.0)
+    p.add_argument("--min_gaussian_noise", type=float, default=0.0)
+    p.add_argument("--max_gaussian_noise", type=float, default=0.1)
+    p.add_argument("--min_compression", type=float, default=0.0)
+    p.add_argument("--max_compression", type=float, default=0.8)
+    p.add_argument("--brightness_jitter", type=float, default=0.1)
+    p.add_argument("--contrast_jitter", type=float, default=0.1)
+    p.add_argument("--saturation_jitter", type=float, default=0.1)
+    p.add_argument("--hue_jitter", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--upscaler_learning_rate", type=float, default=3e-4)
+    p.add_argument("--max_gradient_norm", type=float, default=2.0)
+    p.add_argument("--num_primary_channels", type=int, default=48)
+    p.add_argument("--num_primary_layers", type=int, default=4)
+    p.add_argument("--num_secondary_channels", type=int, default=96)
+    p.add_argument("--num_secondary_layers", type=int, default=4)
+    p.add_argument("--num_tertiary_channels", type=int, default=192)
+    p.add_argument("--num_tertiary_layers", type=int, default=4)
+    p.add_argument("--num_quaternary_channels", type=int, default=384)
+    p.add_argument("--num_quaternary_layers", type=int, default=8)
+    p.add_argument("--hidden_ratio", type=int, default=2, choices=(1, 2, 4))
+    p.add_argument("--activation_checkpointing", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=2)
+    p.add_argument("--checkpoint_interval", type=int, default=2)
+    p.add_argument("--checkpoint_path", default="./checkpoints/pretrain")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run_dir_path", default="./runs")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--compute_dtype", default="bfloat16", choices=("bfloat16", "float32")
+    )
+    p.add_argument("--vgg_weights_path", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    seed = args.seed if args.seed is not None else random.randrange(2**31)
+
+    cfg = unet.MewZoomConfig(
+        upscale_ratio=args.upscale_ratio,
+        primary_channels=args.num_primary_channels,
+        primary_layers=args.num_primary_layers,
+        secondary_channels=args.num_secondary_channels,
+        secondary_layers=args.num_secondary_layers,
+        tertiary_channels=args.num_tertiary_channels,
+        tertiary_layers=args.num_tertiary_layers,
+        quaternary_channels=args.num_quaternary_channels,
+        quaternary_layers=args.num_quaternary_layers,
+        hidden_ratio=args.hidden_ratio,
+    )
+    deg = DegradationConfig(
+        args.min_gaussian_blur, args.max_gaussian_blur,
+        args.min_gaussian_noise, args.max_gaussian_noise,
+        args.min_compression, args.max_compression,
+    )
+    aug = AugmentConfig(
+        args.target_resolution, args.brightness_jitter, args.contrast_jitter,
+        args.saturation_jitter, args.hue_jitter,
+    )
+
+    train_ds = ImageFolder(
+        args.train_images_path, args.target_resolution, args.upscale_ratio, deg, aug
+    )
+    test_ds = ImageFolder(
+        args.test_images_path, args.target_resolution, args.upscale_ratio, deg,
+        AugmentConfig(args.target_resolution, 0, 0, 0, 0, horizontal_flip=False),
+    )
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, seed=seed, num_workers=args.num_dataset_processes
+    )
+    test_loader = BatchLoader(
+        test_ds, args.batch_size, seed=seed, shuffle=False,
+        num_workers=args.num_dataset_processes,
+    )
+
+    compute_dtype = (
+        jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    )
+    params = unet.init(jax.random.key(seed), cfg)
+    vgg = init_vgg19_features(args.vgg_weights_path, seed=0)
+    optimizer = make_optimizer(
+        args.upscaler_learning_rate,
+        args.max_gradient_norm,
+        args.gradient_accumulation_steps,
+    )
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    start_epoch = 1
+    if args.resume:
+        state, meta = restore_state(args.checkpoint_path, state)
+        start_epoch = meta["epoch"] + 1
+        print(f"Resumed from epoch {meta['epoch']}.")
+
+    step_fn = make_pretrain_step(
+        cfg, optimizer, vgg,
+        remat=args.activation_checkpointing,
+        compute_dtype=compute_dtype,
+    )
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        step = jit_data_parallel(step_fn, mesh, donate_state=False)
+        put = partial(shard_batch, mesh)
+    else:
+        step = jax.jit(step_fn, donate_argnums=0)
+        put = lambda b: jax.tree.map(jnp.asarray, b)
+
+    eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+    logger = ScalarLogger(args.run_dir_path)
+    print(
+        f"Model: {sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params)):,} "
+        f"params | devices: {len(jax.devices())} | seed: {seed}"
+    )
+
+    for epoch in range(start_epoch, args.num_epochs + 1):
+        sums: dict[str, jax.Array] = {}
+        n = 0
+        for batch in train_loader:
+            state, metrics = step(state, put(batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        means = {k: float(v) / n for k, v in sums.items()}
+        for k, v in means.items():
+            logger.add_scalar(f"train/{k}", v, epoch)
+        print(
+            f"Epoch {epoch}: "
+            + ", ".join(f"{k}: {v:.5g}" for k, v in sorted(means.items()))
+        )
+
+        if epoch % args.eval_interval == 0:
+            ps_s = ss_s = vf_s = bps_s = 0.0
+            m = 0
+            for batch in test_loader:
+                sr, _ = eval_fn(state.params, jnp.asarray(batch["x"]))
+                y = jnp.asarray(batch["y"])
+                bicubic = jnp.clip(
+                    upsample2d(jnp.asarray(batch["x"]), cfg.upscale_ratio), 0, 1
+                )
+                ps_s += float(psnr(sr, y))
+                ss_s += float(ssim(sr, y))
+                vf_s += float(vif(sr, y))
+                bps_s += float(psnr(bicubic, y))
+                m += 1
+            if m:
+                logger.add_scalar("eval/psnr", ps_s / m, epoch)
+                logger.add_scalar("eval/ssim", ss_s / m, epoch)
+                logger.add_scalar("eval/vif", vf_s / m, epoch)
+                logger.add_scalar("eval/bicubic_psnr", bps_s / m, epoch)
+                print(
+                    f"Eval {epoch}: PSNR {ps_s / m:.3f} (bicubic {bps_s / m:.3f}), "
+                    f"SSIM {ss_s / m:.4f}, VIF {vf_s / m:.4f}"
+                )
+
+        if epoch % args.checkpoint_interval == 0:
+            save_state(
+                args.checkpoint_path,
+                state,
+                {"epoch": epoch, "upscaler_args": cfg.to_dict(), "seed": seed},
+            )
+            print(f"Checkpoint saved at epoch {epoch}.")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Jitted training steps: stage-1 pretraining and stage-2 GAN fine-tuning.
+
+Reference loops: pretrain.py:233-344 and fine-tune.py:240-330.  Key
+TPU-native differences (deliberate, documented):
+
+* The whole step — forward, losses, backward, clip, optimizer — is ONE
+  jitted function; scalars stay on device (the reference's per-batch
+  ``.item()`` D2H syncs are a known perf bug we do not replicate).
+* Gradient accumulation is ``optax.MultiSteps`` around the optimizer
+  (mathematically the reference's scaled-loss accumulation + clip-then-step
+  on the averaged gradients).
+* bf16 is a compute-dtype policy with f32 params/accumulation — TPU-native
+  mixed precision, no loss scaling needed.
+* Fine-tune: the generator's adversarial pass re-uses the upscaler forward
+  via ``jax.vjp`` (the reference shares ``u_pred_sr`` across both phases the
+  same way).  Generator gradients touch ONLY upscaler params — the torch
+  script leaks generator-phase gradients into the critic's next accumulation
+  window (fine-tune.py:310 backward with no critic zero_grad); that is a
+  reference bug we intentionally do not replicate.
+* Spectral norm on the critic is an explicit (params, u-state) power
+  iteration updated once per critic step, stop_gradient'd like torch's
+  buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ultrazoom_tpu.losses import (
+    balanced_multitask,
+    relativistic_bce,
+    vgg_loss,
+)
+from ultrazoom_tpu.models import bouncer as _bouncer
+from ultrazoom_tpu.models import unet as _unet
+from ultrazoom_tpu.nn.transforms import materialize, spectral_materialize
+
+__all__ = [
+    "TrainState",
+    "GanTrainState",
+    "make_optimizer",
+    "make_pretrain_step",
+    "make_finetune_step",
+    "make_eval_step",
+]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class GanTrainState(NamedTuple):
+    u_params: Any
+    u_opt_state: Any
+    c_params: Any
+    c_opt_state: Any
+    sn_state: Any
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float,
+    max_gradient_norm: float | None = 2.0,
+    accumulation_steps: int = 1,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (+ MultiSteps accumulation), matching the
+    reference's AdamW/clip_grad_norm_/accumulation recipe."""
+    chain = []
+    if max_gradient_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_gradient_norm))
+    chain.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx
+
+
+def _mse(a, b):
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def make_pretrain_step(
+    model_cfg: _unet.MewZoomConfig,
+    optimizer: optax.GradientTransformation,
+    vgg_convs,
+    remat: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Stage-1 step: BalancedMultitask([pixel MSE, vgg22, vgg54, deg MSE])
+    (reference pretrain.py:245-267)."""
+
+    def loss_fn(params, batch):
+        mat = materialize(params)
+        sr, qa = _unet.apply(
+            mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
+        )
+        pixel = _mse(sr, batch["y"])
+        l22, l54 = vgg_loss(vgg_convs, sr, batch["y"])
+        deg = _mse(qa, batch["y_deg"])
+        losses = jnp.stack([pixel, l22, l54, deg])
+        total = balanced_multitask(losses)
+        aux = {
+            "loss": total,
+            "pixel_l2": pixel,
+            "vgg22_l2": l22,
+            "vgg54_l2": l54,
+            "degradation_l2": deg,
+        }
+        return total, aux
+
+    def step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        aux["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return step
+
+
+def make_eval_step(model_cfg, compute_dtype=None) -> Callable:
+    """Eval: model + bicubic PSNR/SSIM inputs (metrics applied outside)."""
+
+    def step(params, x):
+        mat = materialize(params)
+        sr, qa = _unet.apply(mat, x, model_cfg, compute_dtype=compute_dtype)
+        return jnp.clip(sr, 0.0, 1.0), qa
+
+    return step
+
+
+def make_finetune_step(
+    model_cfg: _unet.MewZoomConfig,
+    critic_cfg: _bouncer.BouncerConfig,
+    u_optimizer: optax.GradientTransformation,
+    c_optimizer: optax.GradientTransformation,
+    remat: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Stage-2 GAN step.  ``warmup`` is a static argument: during critic
+    warm-up epochs only phase A runs (fine-tune.py:247, 288)."""
+
+    def critic_forward(c_params, sn_state, x, update):
+        c_mat, new_sn = spectral_materialize(c_params, sn_state, update=update)
+        outs = _bouncer.apply(c_mat, x, remat=remat, compute_dtype=compute_dtype)
+        return outs, new_sn
+
+    def critic_loss(c_params, sn_state, sr_detached, y_real_img, y_real, y_fake):
+        fake_outs, new_sn = critic_forward(c_params, sn_state, sr_detached, True)
+        real_outs, _ = critic_forward(c_params, new_sn, y_real_img, False)
+        loss = relativistic_bce(real_outs[-1], fake_outs[-1], y_real, y_fake)
+        return loss, new_sn
+
+    def gen_outputs_loss(sr, qa, c_params, sn_state, batch, y_real, y_fake):
+        fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
+        real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
+        pixel = _mse(sr, batch["y"])
+        deg = _mse(qa, batch["y_deg"])
+        s2 = _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))
+        s3 = _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))
+        # Swapped labels: generator wants fakes classified real
+        # (fine-tune.py:300).
+        u_bce = relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real)
+        losses = jnp.stack([pixel, s2, s3, deg, u_bce])
+        total = balanced_multitask(losses)
+        aux = {
+            "pixel_l2": pixel,
+            "stage2_l2": s2,
+            "stage3_l2": s3,
+            "degradation_l2": deg,
+            "upscaler_bce": u_bce,
+        }
+        return total, aux
+
+    def step(state: GanTrainState, batch, warmup: bool):
+        b = batch["x"].shape[0]
+        y_real = jnp.ones((b, 1), jnp.float32)
+        y_fake = jnp.zeros((b, 1), jnp.float32)
+
+        # Shared generator forward with pullback for phase B.
+        def u_forward(u_params):
+            mat = materialize(u_params)
+            return _unet.apply(
+                mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
+            )
+
+        (sr, qa), u_vjp = jax.vjp(u_forward, state.u_params)
+        sr_d = jax.lax.stop_gradient(sr)
+
+        # Phase A: critic update on detached SR.
+        (c_loss, new_sn), c_grads = jax.value_and_grad(critic_loss, has_aux=True)(
+            state.c_params, state.sn_state, sr_d, batch["y"], y_real, y_fake
+        )
+        c_updates, c_opt_state = c_optimizer.update(
+            c_grads, state.c_opt_state, state.c_params
+        )
+        c_params = optax.apply_updates(state.c_params, c_updates)
+        metrics = {
+            "critic_bce": c_loss,
+            "critic_grad_norm": optax.global_norm(c_grads),
+        }
+
+        if warmup:
+            return (
+                GanTrainState(
+                    state.u_params,
+                    state.u_opt_state,
+                    c_params,
+                    c_opt_state,
+                    new_sn,
+                    state.step + 1,
+                ),
+                metrics,
+            )
+
+        # Phase B: generator update through the (just-updated) critic.
+        (_, aux), (d_sr, d_qa) = jax.value_and_grad(
+            gen_outputs_loss, argnums=(0, 1), has_aux=True
+        )(sr, qa, c_params, new_sn, batch, y_real, y_fake)
+        (u_grads,) = u_vjp((d_sr, d_qa))
+        u_updates, u_opt_state = u_optimizer.update(
+            u_grads, state.u_opt_state, state.u_params
+        )
+        u_params = optax.apply_updates(state.u_params, u_updates)
+        metrics.update(aux)
+        metrics["upscaler_grad_norm"] = optax.global_norm(u_grads)
+
+        return (
+            GanTrainState(
+                u_params, u_opt_state, c_params, c_opt_state, new_sn, state.step + 1
+            ),
+            metrics,
+        )
+
+    return step
