@@ -38,16 +38,20 @@ def main() -> None:
     fn = jax.jit(
         lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
     )
-    # Warmup / compile.
-    jax.block_until_ready(fn(params, x, c))
+    # A one-scalar readback is the sync barrier: on the tunneled axon
+    # backend `block_until_ready` returns before execution finishes, so we
+    # chain ITERS calls and force a D2H readback of one output element
+    # (compiled once) to close the pipeline.
+    sync = jax.jit(lambda y: y[0, 0, 0, 0] * 1.0)
+    out = fn(params, x, c)
+    float(sync(out))  # warmup/compile both executables
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(ITERS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, x, c))
-        times.append(time.perf_counter() - t0)
+        out = fn(params, x, c)
+    float(sync(out))
+    dt = (time.perf_counter() - t0) / ITERS
 
-    dt = float(np.median(times))
     mps = (BATCH * SIZE * SIZE / 1e6) / dt  # input megapixels per second
 
     print(
