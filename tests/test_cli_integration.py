@@ -1,0 +1,158 @@
+"""End-to-end CLI smoke tests on a tiny synthetic dataset.
+
+The reference has no training-loop or integration tests (SURVEY.md
+section 4); these close that gap: pretrain runs + checkpoints + resumes,
+fine-tune runs both phases, and the validate/test-compare tools work on
+real files.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+TINY_MODEL_FLAGS = [
+    "--num_primary_channels", "8", "--num_primary_layers", "2",
+    "--num_secondary_channels", "12", "--num_secondary_layers", "2",
+    "--num_tertiary_channels", "16", "--num_tertiary_layers", "2",
+    "--num_quaternary_channels", "24", "--num_quaternary_layers", "2",
+]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 8), ("test", 2)):
+        d = root / split
+        d.mkdir()
+        for i in range(n):
+            # Smooth-ish images so SR has signal.
+            base = rng.uniform(0, 1, (6, 6, 3))
+            img = np.kron(base, np.ones((8, 8, 1)))[:40, :40]
+            arr = (img * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return root
+
+
+def test_pretrain_cli_end_to_end(dataset, tmp_path):
+    from ultrazoom_tpu.train.pretrain import main
+
+    ckpt = tmp_path / "ck"
+    runs = tmp_path / "runs"
+    args = [
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--target_resolution", "32",
+        "--upscale_ratio", "2",
+        "--batch_size", "4",
+        "--gradient_accumulation_steps", "1",
+        "--num_epochs", "2",
+        "--eval_interval", "2",
+        "--checkpoint_interval", "1",
+        "--checkpoint_path", str(ckpt),
+        "--run_dir_path", str(runs),
+        "--seed", "0",
+        "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+        *TINY_MODEL_FLAGS,
+    ]
+    main(args)
+
+    assert (ckpt / "meta.json").exists()
+    meta = json.loads((ckpt / "meta.json").read_text())
+    assert meta["epoch"] == 2
+    events = (runs / "events.jsonl").read_text().strip().splitlines()
+    tags = {json.loads(e)["tag"] for e in events}
+    assert "train/loss" in tags and "eval/psnr" in tags
+
+    # Resume for one more epoch.
+    main(args[:args.index("2", args.index("--num_epochs"))] + ["3"] +
+         args[args.index("--eval_interval"):] + ["--resume"])
+    meta = json.loads((ckpt / "meta.json").read_text())
+    assert meta["epoch"] == 3
+
+
+def test_finetune_cli_end_to_end(dataset, tmp_path):
+    from ultrazoom_tpu.train.finetune import main as ft_main
+    from ultrazoom_tpu.train.pretrain import main as pt_main
+
+    base = tmp_path / "base"
+    pt_main([
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--num_epochs", "1", "--eval_interval", "10",
+        "--checkpoint_interval", "1",
+        "--checkpoint_path", str(base),
+        "--run_dir_path", str(tmp_path / "runs1"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+        *TINY_MODEL_FLAGS,
+    ])
+
+    ft_main([
+        "--base_checkpoint_path", str(base),
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--target_resolution", "32",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--num_epochs", "2", "--critic_warmup_epochs", "1",
+        "--eval_interval", "2", "--checkpoint_interval", "2",
+        "--checkpoint_path", str(tmp_path / "ft"),
+        "--run_dir_path", str(tmp_path / "runs2"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ])
+    meta = json.loads((tmp_path / "ft" / "meta.json").read_text())
+    assert meta["epoch"] == 2
+    events = (tmp_path / "runs2" / "events.jsonl").read_text().strip().splitlines()
+    tags = {json.loads(e)["tag"] for e in events}
+    assert "finetune/critic_bce" in tags
+    assert "finetune/upscaler_bce" in tags  # phase B ran after warmup
+    assert "eval/critic_f1" in tags
+
+
+def test_validate_and_compare_tools(tmp_path):
+    from PIL import Image
+
+    from ultrazoom_tpu.models import MewZoomCtrl
+    from ultrazoom_tpu.tools.test_compare import main as tc_main
+    from ultrazoom_tpu.tools.validate import main as val_main
+
+    model = MewZoomCtrl.from_config(
+        MewZoomCtrl.Config(upscale_ratio=2, num_channels=8, num_layers=2), seed=0
+    )
+    mdir = tmp_path / "model"
+    model.save_pretrained(mdir)
+
+    rng = np.random.default_rng(1)
+    (tmp_path / "lr").mkdir()
+    (tmp_path / "hr").mkdir()
+    for i in range(2):
+        hr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        lr = hr[::2, ::2]
+        Image.fromarray(lr).save(tmp_path / "lr" / f"{i}.png")
+        Image.fromarray(hr).save(tmp_path / "hr" / f"{i}.png")
+
+    val_main([
+        "--model_path", str(mdir),
+        "--lr_images_path", str(tmp_path / "lr"),
+        "--hr_images_path", str(tmp_path / "hr"),
+        "--compute_dtype", "float32",
+    ])
+
+    out = tmp_path / "cmp.png"
+    tc_main([
+        "--image_path", str(tmp_path / "lr" / "0.png"),
+        "--model_path", str(mdir),
+        "--output_path", str(out),
+        "--compute_dtype", "float32",
+    ])
+    assert out.exists()
+    w, h = Image.open(out).size
+    assert (w, h) == (32 + 8 + 32, 32)

@@ -34,6 +34,21 @@ def make_mesh(devices=None, axis_names=("data",), shape=None) -> Mesh:
     return Mesh(arr, axis_names[: arr.ndim])
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh | None:
+    """1-D data mesh over the largest device count that divides the batch.
+
+    Returns None when only one device would be used (caller should fall
+    back to plain jit).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return make_mesh(devs[:n])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -29,7 +29,8 @@ from ultrazoom_tpu.nn.transforms import (
     spectral_init_state,
     spectral_materialize,
 )
-from ultrazoom_tpu.parallel import jit_data_parallel, make_mesh, shard_batch
+from ultrazoom_tpu.parallel import jit_data_parallel, shard_batch
+from ultrazoom_tpu.parallel.mesh import make_mesh_for_batch
 from ultrazoom_tpu.train.steps import (
     GanTrainState,
     TrainState,
@@ -132,19 +133,19 @@ def main(argv=None) -> None:
         cfg, c_cfg, u_opt, c_opt,
         remat=args.activation_checkpointing, compute_dtype=compute_dtype,
     )
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         from ultrazoom_tpu.parallel.mesh import batch_sharded, replicated
 
         step = jax.jit(
             step_fn,
-            static_argnames="warmup",
+            static_argnums=2,
             in_shardings=(replicated(mesh), batch_sharded(mesh)),
             out_shardings=(replicated(mesh), replicated(mesh)),
         )
         put = partial(shard_batch, mesh)
     else:
-        step = jax.jit(step_fn, static_argnames="warmup")
+        step = jax.jit(step_fn, static_argnums=2)
         put = lambda b: jax.tree.map(jnp.asarray, b)
 
     deg = DegradationConfig(
@@ -167,8 +168,8 @@ def main(argv=None) -> None:
         train_ds, args.batch_size, seed=seed, num_workers=args.num_dataset_processes
     )
     test_loader = BatchLoader(
-        test_ds, args.batch_size, seed=seed, shuffle=False,
-        num_workers=args.num_dataset_processes,
+        test_ds, max(1, min(args.batch_size, len(test_ds))), seed=seed,
+        shuffle=False, num_workers=args.num_dataset_processes,
     )
 
     eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
@@ -185,7 +186,8 @@ def main(argv=None) -> None:
         sums: dict[str, jax.Array] = {}
         n = 0
         for batch in train_loader:
-            state, metrics = step(state, put(batch), warmup=warmup)
+            # Positional: pjit with in_shardings rejects kwargs.
+            state, metrics = step(state, put(batch), warmup)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1

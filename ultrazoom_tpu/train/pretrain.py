@@ -32,7 +32,8 @@ from ultrazoom_tpu.losses import init_vgg19_features
 from ultrazoom_tpu.metrics import psnr, ssim, vif
 from ultrazoom_tpu.models import unet
 from ultrazoom_tpu.ops import upsample2d
-from ultrazoom_tpu.parallel import jit_data_parallel, make_mesh, shard_batch
+from ultrazoom_tpu.parallel import jit_data_parallel, shard_batch
+from ultrazoom_tpu.parallel.mesh import make_mesh_for_batch
 from ultrazoom_tpu.train.steps import (
     TrainState,
     make_eval_step,
@@ -124,8 +125,8 @@ def main(argv=None) -> None:
         train_ds, args.batch_size, seed=seed, num_workers=args.num_dataset_processes
     )
     test_loader = BatchLoader(
-        test_ds, args.batch_size, seed=seed, shuffle=False,
-        num_workers=args.num_dataset_processes,
+        test_ds, max(1, min(args.batch_size, len(test_ds))), seed=seed,
+        shuffle=False, num_workers=args.num_dataset_processes,
     )
 
     compute_dtype = (
@@ -150,7 +151,7 @@ def main(argv=None) -> None:
         remat=args.activation_checkpointing,
         compute_dtype=compute_dtype,
     )
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         step = jit_data_parallel(step_fn, mesh, donate_state=False)
         put = partial(shard_batch, mesh)
