@@ -83,6 +83,24 @@ class _Base:
         config = {**self.cfg.to_dict(), "architecture": self.ARCH}
         hf.save_pretrained(path, flat, config)
 
+    def push_to_hub(self, repo_id: str, private: bool = False, **kw) -> None:
+        """Upload to the HuggingFace Hub (reference
+        ``PyTorchModelHubMixin.push_to_hub`` analog).  Requires network and
+        ``huggingface_hub``; raises a clear error in air-gapped setups."""
+        import tempfile
+
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "push_to_hub requires the huggingface_hub package."
+            ) from e
+        with tempfile.TemporaryDirectory() as tmp:
+            self.save_pretrained(tmp)
+            api = HfApi()
+            api.create_repo(repo_id, private=private, exist_ok=True, **kw)
+            api.upload_folder(repo_id=repo_id, folder_path=tmp)
+
     def _to_torch_flat(self, params):
         return hf.tree_to_torch_flat(params)
 
@@ -259,8 +277,27 @@ class MewZoomCtrl(_Base):
         return TiledUpscaler(fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh)
 
 
+def _resolve_model_path(path):
+    """Local directory, or (when network is available) a HF Hub repo id
+    resolved via snapshot_download — mirroring the reference's
+    ``from_pretrained("andrewdalpino/MewZoom-2X")`` UX."""
+    p = pathlib.Path(path)
+    if p.exists():
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        return pathlib.Path(snapshot_download(repo_id=str(path)))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Model path {path!r} does not exist locally and could not be "
+            f"fetched from the HuggingFace Hub ({type(e).__name__}: {e})."
+        ) from e
+
+
 def from_pretrained(path) -> MewZoom | MewZoomCtrl:
-    """Architecture-dispatching loader for HF-style directories."""
+    """Architecture-dispatching loader: local HF-style dir or Hub repo id."""
+    path = _resolve_model_path(path)
     config, _ = hf.load_pretrained(path)
     arch = config.get("architecture", "mewzoom-unet")
     if arch == "mewzoom-ctrl":

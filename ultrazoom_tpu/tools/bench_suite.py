@@ -1,0 +1,151 @@
+"""Full benchmark suite over the BASELINE.json scenario list.
+
+Scenarios (BASELINE.json "configs"):
+  1. 2X Ctrl preset (1.8M) — 256x256, batch 1
+  2. 3X Ctrl preset (3.5M) — 512x512, batch 4
+  3. 4X Ctrl preset (14M)  — 512x512, batch 8      (== bench.py headline)
+  4. 2X Ctrl — ControlVector sweep (conditioning responds; throughput)
+  5. 4X Ctrl — 4K -> 8K... wait, 4X of 4K is 16K; scenario is a 4K-input
+     overlap-tile stream through fixed-shape compiled tiles.
+  6. (extra) 0.3.0 U-Net default config 2X — 256x256, batch 1
+
+Timing uses chained dispatch + one-scalar readback (see bench.py for why
+block_until_ready alone is insufficient on the tunneled backend).
+Prints one JSON line per scenario plus a human table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_fn(fn, args, iters=8):
+    sync = jax.jit(lambda y: y[(0,) * (y.ndim - 1) + (0,)] * 1.0)
+    out = fn(*args)
+    float(sync(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(sync(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ctrl(preset, size, batch, iters=8, compute_dtype=jnp.bfloat16):
+    from ultrazoom_tpu.models import ctrl
+
+    cfg = ctrl.PRESETS[preset]
+    params = ctrl.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)), jnp.float32)
+    c = jnp.tile(jnp.asarray([[0.5, 0.2, 0.3]], jnp.float32), (batch, 1))
+    fn = jax.jit(
+        lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=compute_dtype)
+    )
+    dt = _time_fn(lambda xx, cc: fn(params, xx, cc), (x, c), iters)
+    return dt, batch * size * size / 1e6
+
+
+def bench_unet(size, batch, iters=4, compute_dtype=jnp.bfloat16):
+    from ultrazoom_tpu.models import unet
+
+    cfg = unet.MewZoomConfig(upscale_ratio=2)
+    params = unet.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)), jnp.float32)
+    fn = jax.jit(lambda p, xx: unet.upscale(p, xx, cfg, compute_dtype=compute_dtype))
+    dt = _time_fn(lambda xx: fn(params, xx), (x,), iters)
+    return dt, batch * size * size / 1e6
+
+
+def bench_tiled_4k(iters=1):
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.engine import TiledUpscaler
+
+    cfg = ctrl.PRESETS["4x"]
+    params = ctrl.init(jax.random.key(0), cfg)
+    c = jnp.asarray([[0.5, 0.2, 0.3]], jnp.float32)
+
+    def fn(x):
+        cc = jnp.broadcast_to(c, (x.shape[0], 3))
+        return ctrl.upscale(params, x, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
+
+    eng = TiledUpscaler(fn, scale=4, tile=256, overlap=16, tile_batch=8)
+    img = np.random.default_rng(0).uniform(0, 1, (2160, 3840, 3)).astype(np.float32)
+    out = eng(img)  # warmup (compiles the tile graph)
+    assert out.shape == (8640, 15360, 3)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        eng(img)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, img.shape[0] * img.shape[1] / 1e6
+
+
+def bench_control_sweep():
+    """Scenario 4: grid of control vectors; verifies conditioning changes
+    the output and measures per-setting latency."""
+    from ultrazoom_tpu.models import ctrl
+
+    cfg = ctrl.PRESETS["2x"]
+    params = ctrl.init(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 256, 256, 3)), jnp.float32
+    )
+    fn = jax.jit(
+        lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
+    )
+    outs = []
+    grid = [(b, n, j) for b in (0.0, 1.0) for n in (0.0, 1.0) for j in (0.0, 1.0)]
+    t0 = time.perf_counter()
+    for b, n, j in grid:
+        cc = jnp.asarray([[b, n, j]], jnp.float32)
+        outs.append(fn(params, x, cc))
+    ref = np.asarray(outs[0])
+    deltas = [float(np.abs(np.asarray(o) - ref).max()) for o in outs[1:]]
+    dt = (time.perf_counter() - t0) / len(grid)
+    assert min(deltas) > 0, "control conditioning had no effect"
+    return dt, 256 * 256 / 1e6, min(deltas), max(deltas)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip_4k", action="store_true")
+    args = p.parse_args(argv)
+
+    dev = jax.devices()[0].device_kind
+    rows = []
+
+    dt, mp = bench_ctrl("2x", 256, 1)
+    rows.append(("2X Ctrl 1.8M, 256^2 b1", dt, mp))
+    dt, mp = bench_ctrl("3x", 512, 4)
+    rows.append(("3X Ctrl 3.5M, 512^2 b4", dt, mp))
+    dt, mp = bench_ctrl("4x", 512, 8)
+    rows.append(("4X Ctrl 14M, 512^2 b8 [headline]", dt, mp))
+    dt, mp, dmin, dmax = bench_control_sweep()
+    rows.append(("2X Ctrl control sweep (8 settings)", dt, mp))
+    dt, mp = bench_unet(256, 1)
+    rows.append(("2X UNet 56M (0.3.0 default), 256^2 b1", dt, mp))
+    if not args.skip_4k:
+        dt, mp = bench_tiled_4k()
+        rows.append(("4X Ctrl tiled 4K->16K stream", dt, mp))
+
+    print(f"\nDevice: {dev}")
+    print(f"{'scenario':<42} {'ms/call':>10} {'input MP/s':>12}")
+    for name, dt, mp in rows:
+        print(f"{name:<42} {dt * 1e3:>10.2f} {mp / dt:>12.2f}")
+        print(
+            json.dumps(
+                {"metric": name, "value": round(mp / dt, 3), "unit": "MP/s",
+                 "ms_per_call": round(dt * 1e3, 2), "device": dev}
+            )
+        )
+    print(f"control sweep output delta range: [{dmin:.4f}, {dmax:.4f}]")
+
+
+if __name__ == "__main__":
+    main()
