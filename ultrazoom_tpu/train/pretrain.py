@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--upscaler_learning_rate", type=float, default=3e-4)
+    p.add_argument("--adaptive_loss_learning_rate", type=float, default=1e-3)
+    p.add_argument(
+        "--loss_combiner", default="balanced", choices=("balanced", "adaptive")
+    )
     p.add_argument("--max_gradient_norm", type=float, default=2.0)
     p.add_argument("--num_primary_channels", type=int, default=48)
     p.add_argument("--num_primary_layers", type=int, default=4)
@@ -134,11 +138,25 @@ def main(argv=None) -> None:
     )
     params = unet.init(jax.random.key(seed), cfg)
     vgg = init_vgg19_features(args.vgg_weights_path, seed=0)
-    optimizer = make_optimizer(
-        args.upscaler_learning_rate,
-        args.max_gradient_norm,
-        args.gradient_accumulation_steps,
-    )
+    if args.loss_combiner == "adaptive":
+        from ultrazoom_tpu.train.steps import (
+            make_adaptive_optimizer,
+            wrap_params_with_loss_combiner,
+        )
+
+        params = wrap_params_with_loss_combiner(params)
+        optimizer = make_adaptive_optimizer(
+            args.upscaler_learning_rate,
+            args.max_gradient_norm,
+            args.gradient_accumulation_steps,
+            args.adaptive_loss_learning_rate,
+        )
+    else:
+        optimizer = make_optimizer(
+            args.upscaler_learning_rate,
+            args.max_gradient_norm,
+            args.gradient_accumulation_steps,
+        )
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
     start_epoch = 1
     if args.resume:
@@ -150,6 +168,7 @@ def main(argv=None) -> None:
         cfg, optimizer, vgg,
         remat=args.activation_checkpointing,
         compute_dtype=compute_dtype,
+        loss_combiner=args.loss_combiner,
     )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
@@ -185,8 +204,13 @@ def main(argv=None) -> None:
         if epoch % args.eval_interval == 0:
             ps_s = ss_s = vf_s = bps_s = 0.0
             m = 0
+            model_params = (
+                state.params["model"]
+                if args.loss_combiner == "adaptive"
+                else state.params
+            )
             for batch in test_loader:
-                sr, _ = eval_fn(state.params, jnp.asarray(batch["x"]))
+                sr, _ = eval_fn(model_params, jnp.asarray(batch["x"]))
                 y = jnp.asarray(batch["y"])
                 bicubic = jnp.clip(
                     upsample2d(jnp.asarray(batch["x"]), cfg.upscale_ratio), 0, 1

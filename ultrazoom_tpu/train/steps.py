@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import optax
 
 from ultrazoom_tpu.losses import (
+    adaptive_multitask,
+    adaptive_multitask_init,
     balanced_multitask,
     relativistic_bce,
     vgg_loss,
@@ -82,8 +84,45 @@ def make_optimizer(
     return tx
 
 
+def make_adaptive_optimizer(
+    learning_rate: float,
+    max_gradient_norm: float | None,
+    accumulation_steps: int,
+    adaptive_loss_learning_rate: float = 1e-3,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """Optimizer for adaptive-loss training: model params get the usual
+    clip+AdamW, the Kendall log-sigmas their own AdamW at
+    ``adaptive_loss_learning_rate`` (reference README.md:305 flag)."""
+    chain = []
+    if max_gradient_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_gradient_norm))
+    chain.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+    model_tx = optax.chain(*chain)
+    loss_tx = optax.adamw(adaptive_loss_learning_rate)
+
+    def labels(params):
+        return {
+            "model": jax.tree.map(lambda _: "model", params["model"]),
+            "loss_combiner": jax.tree.map(
+                lambda _: "loss", params["loss_combiner"]
+            ),
+        }
+
+    tx = optax.multi_transform({"model": model_tx, "loss": loss_tx}, labels)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx
+
+
 def _mse(a, b):
     return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def wrap_params_with_loss_combiner(params) -> Any:
+    """Augment a model param tree with learnable Kendall log-sigmas for the
+    4 pretrain tasks (reference AdaptiveMultitaskLoss, loss.py:96-145)."""
+    return {"model": params, "loss_combiner": adaptive_multitask_init(4)}
 
 
 def make_pretrain_step(
@@ -92,12 +131,18 @@ def make_pretrain_step(
     vgg_convs,
     remat: bool = False,
     compute_dtype=None,
+    loss_combiner: str = "balanced",
 ) -> Callable:
-    """Stage-1 step: BalancedMultitask([pixel MSE, vgg22, vgg54, deg MSE])
-    (reference pretrain.py:245-267)."""
+    """Stage-1 step: pixel MSE + vgg22 + vgg54 + deg MSE combined by
+    BalancedMultitask (reference pretrain.py:245-267) or AdaptiveMultitask
+    (learnable uncertainty weights; wrap params with
+    :func:`wrap_params_with_loss_combiner` first)."""
+    assert loss_combiner in ("balanced", "adaptive")
+    adaptive = loss_combiner == "adaptive"
 
     def loss_fn(params, batch):
-        mat = materialize(params)
+        model_params = params["model"] if adaptive else params
+        mat = materialize(model_params)
         sr, qa = _unet.apply(
             mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
         )
@@ -105,7 +150,10 @@ def make_pretrain_step(
         l22, l54 = vgg_loss(vgg_convs, sr, batch["y"])
         deg = _mse(qa, batch["y_deg"])
         losses = jnp.stack([pixel, l22, l54, deg])
-        total = balanced_multitask(losses)
+        if adaptive:
+            total = adaptive_multitask(params["loss_combiner"], losses)
+        else:
+            total = balanced_multitask(losses)
         aux = {
             "loss": total,
             "pixel_l2": pixel,
