@@ -135,7 +135,9 @@ class TiledUpscaler:
             tiles = np.concatenate(
                 [tiles, np.zeros((n_pad - n, *tiles.shape[1:]), tiles.dtype)]
             )
-        outs = []
-        for i in range(0, n_pad, b):
-            outs.append(np.asarray(self._fn(jnp.asarray(tiles[i : i + b]))))
-        return np.concatenate(outs)[:n]
+        # Dispatch every batch before any D2H readback so the device
+        # pipeline stays full; conversion at the end is the only sync.
+        outs = [
+            self._fn(jnp.asarray(tiles[i : i + b])) for i in range(0, n_pad, b)
+        ]
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
