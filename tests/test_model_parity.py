@@ -152,6 +152,25 @@ def test_remat_matches_plain():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_bf16_compute_vs_torch_meets_north_star():
+    """bf16 serving path vs the torch f32 reference must clear the 40 dB
+    BASELINE.json fidelity bar end to end."""
+    import jax.numpy as jnp
+
+    model, args = build_reference_mewzoom(seed=12)
+    cfg = unet.MewZoomConfig.from_dict(args)
+    params, _ = torch_state_dict_to_tree(model.state_dict())
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 1, size=(1, 3, 24, 24)).astype(np.float32)
+    ref_sr, _ = _forward_torch(model, x)
+
+    xh = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    got, _ = unet.apply(params, xh, cfg, compute_dtype=jnp.bfloat16)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert _psnr(got, ref_sr) > 40.0
+
+
 def test_param_count_matches_torch():
     model, args = build_reference_mewzoom(seed=9)
     cfg = unet.MewZoomConfig.from_dict(args)
