@@ -186,11 +186,14 @@ class MewZoom(_Base):
     # Reference method name kept (typo and all) for drop-in compatibility.
     predict_degredation = predict_degradation
 
-    def tiled(self, tile=256, overlap=16, tile_batch=8, mesh=None, compute_dtype=None):
+    def tiled(
+        self, tile=256, overlap=16, tile_batch=8, mesh=None, compute_dtype=None,
+        **engine_kw,
+    ):
         mat = _tr.materialize(self.params)
         fn = partial(_unet.upscale, mat, cfg=self.cfg, compute_dtype=compute_dtype)
         return TiledUpscaler(
-            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh, **engine_kw
         )
 
 
@@ -262,7 +265,10 @@ class MewZoomCtrl(_Base):
         )
         return (enhanced[0], bicubic[0]) if squeeze else (enhanced, bicubic)
 
-    def tiled(self, c=None, tile=256, overlap=16, tile_batch=8, mesh=None, compute_dtype=None):
+    def tiled(
+        self, c=None, tile=256, overlap=16, tile_batch=8, mesh=None,
+        compute_dtype=None, **engine_kw,
+    ):
         mat = _tr.materialize(self.params)
         if isinstance(c, _ctrl.ControlVector):
             c = c.to_tensor()
@@ -274,7 +280,9 @@ class MewZoomCtrl(_Base):
                 cc = jnp.broadcast_to(cv[:1], (x.shape[0], 3))
             return _ctrl.upscale(mat, x, cc, cfg=self.cfg, compute_dtype=compute_dtype)
 
-        return TiledUpscaler(fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh)
+        return TiledUpscaler(
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh, **engine_kw
+        )
 
 
 def _resolve_model_path(path):

@@ -75,10 +75,14 @@ def bench_tiled_4k(iters=1):
         cc = jnp.broadcast_to(c, (x.shape[0], 3))
         return ctrl.upscale(params, x, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
 
-    eng = TiledUpscaler(fn, scale=4, tile=256, overlap=16, tile_batch=8)
+    # uint8 device-side quantisation: the 16K output is ~1.6 GB in f32;
+    # shipping it as uint8 (what an image file needs anyway) is 4x less D2H.
+    eng = TiledUpscaler(
+        fn, scale=4, tile=256, overlap=16, tile_batch=8, output_dtype="uint8"
+    )
     img = np.random.default_rng(0).uniform(0, 1, (2160, 3840, 3)).astype(np.float32)
     out = eng(img)  # warmup (compiles the tile graph)
-    assert out.shape == (8640, 15360, 3)
+    assert out.shape == (8640, 15360, 3) and out.dtype == np.uint8
     t0 = time.perf_counter()
     for _ in range(iters):
         eng(img)
