@@ -103,15 +103,17 @@ def bench_control_sweep():
     fn = jax.jit(
         lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
     )
-    outs = []
     grid = [(b, n, j) for b in (0.0, 1.0) for n in (0.0, 1.0) for j in (0.0, 1.0)]
+    jax.block_until_ready(fn(params, x, jnp.zeros((1, 3))))  # compile
+    outs = []
     t0 = time.perf_counter()
     for b, n, j in grid:
         cc = jnp.asarray([[b, n, j]], jnp.float32)
         outs.append(fn(params, x, cc))
+    float(outs[-1][0, 0, 0])  # close the pipeline
+    dt = (time.perf_counter() - t0) / len(grid)
     ref = np.asarray(outs[0])
     deltas = [float(np.abs(np.asarray(o) - ref).max()) for o in outs[1:]]
-    dt = (time.perf_counter() - t0) / len(grid)
     assert min(deltas) > 0, "control conditioning had no effect"
     return dt, 256 * 256 / 1e6, min(deltas), max(deltas)
 
