@@ -89,12 +89,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--compute_dtype", default="bfloat16", choices=("bfloat16", "float32")
     )
     p.add_argument("--vgg_weights_path", default=None)
+    p.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (fail fast on NaN; disables some fusion)",
+    )
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler trace of epoch 1 into this directory",
+    )
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     seed = args.seed if args.seed is not None else random.randrange(2**31)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = unet.MewZoomConfig(
         upscale_ratio=args.upscale_ratio,
@@ -186,6 +196,9 @@ def main(argv=None) -> None:
     )
 
     for epoch in range(start_epoch, args.num_epochs + 1):
+        profiling = args.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         sums: dict[str, jax.Array] = {}
         n = 0
         for batch in train_loader:
@@ -193,6 +206,10 @@ def main(argv=None) -> None:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1
+        if profiling:
+            jax.tree.map(lambda x: x.block_until_ready(), sums)
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {args.profile_dir}")
         means = {k: float(v) / n for k, v in sums.items()}
         for k, v in means.items():
             logger.add_scalar(f"train/{k}", v, epoch)
