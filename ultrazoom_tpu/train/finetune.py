@@ -38,7 +38,12 @@ from ultrazoom_tpu.train.steps import (
     make_finetune_step,
     make_optimizer,
 )
-from ultrazoom_tpu.utils import ScalarLogger, latest_meta, restore_state, save_state
+from ultrazoom_tpu.utils import (
+    AsyncCheckpointer,
+    ScalarLogger,
+    latest_meta,
+    restore_state,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -180,6 +185,7 @@ def main(argv=None) -> None:
     critic_fn = jax.jit(_critic_logit)
     logger = ScalarLogger(args.run_dir_path)
     f1 = RelativisticF1()
+    checkpointer = AsyncCheckpointer()
 
     for epoch in range(start_epoch, args.num_epochs + 1):
         warmup = epoch <= args.critic_warmup_epochs
@@ -230,7 +236,7 @@ def main(argv=None) -> None:
                 )
 
         if epoch % args.checkpoint_interval == 0:
-            save_state(
+            checkpointer.save(
                 args.checkpoint_path,
                 state,
                 {
@@ -240,8 +246,9 @@ def main(argv=None) -> None:
                     "seed": seed,
                 },
             )
-            print(f"Checkpoint saved at epoch {epoch}.")
+            print(f"Checkpoint save started at epoch {epoch} (async).")
 
+    checkpointer.wait()
     logger.close()
 
 

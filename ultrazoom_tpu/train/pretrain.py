@@ -40,7 +40,7 @@ from ultrazoom_tpu.train.steps import (
     make_optimizer,
     make_pretrain_step,
 )
-from ultrazoom_tpu.utils import ScalarLogger, restore_state, save_state
+from ultrazoom_tpu.utils import AsyncCheckpointer, ScalarLogger, restore_state
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -190,6 +190,7 @@ def main(argv=None) -> None:
 
     eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
     logger = ScalarLogger(args.run_dir_path)
+    checkpointer = AsyncCheckpointer()
     print(
         f"Model: {sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params)):,} "
         f"params | devices: {len(jax.devices())} | seed: {seed}"
@@ -248,13 +249,14 @@ def main(argv=None) -> None:
                 )
 
         if epoch % args.checkpoint_interval == 0:
-            save_state(
+            checkpointer.save(
                 args.checkpoint_path,
                 state,
                 {"epoch": epoch, "upscaler_args": cfg.to_dict(), "seed": seed},
             )
-            print(f"Checkpoint saved at epoch {epoch}.")
+            print(f"Checkpoint save started at epoch {epoch} (async).")
 
+    checkpointer.wait()
     logger.close()
 
 

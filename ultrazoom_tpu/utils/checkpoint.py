@@ -24,7 +24,7 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["save_state", "restore_state", "latest_meta"]
+__all__ = ["save_state", "restore_state", "latest_meta", "AsyncCheckpointer"]
 
 
 def save_state(path: str | pathlib.Path, state: Any, meta: dict) -> None:
@@ -58,6 +58,34 @@ def restore_state(path: str | pathlib.Path, like: Any) -> tuple[Any, dict]:
         for l, ref in zip(leaves, like_leaves)
     ]
     return jax.tree.unflatten(treedef, cast), meta
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpointing: the D2H pull happens on the caller's
+    thread (it must — it synchronises with the device), but serialisation
+    and disk IO run on a background thread so the next training step starts
+    immediately.  ``wait()`` joins the in-flight save (call before exit)."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread: "threading.Thread | None" = None
+
+    def save(self, path, state, meta: dict) -> None:
+        self.wait()
+        host_state = jax.device_get(state)
+
+        def _write():
+            save_state(path, host_state, meta)
+
+        self._thread = self._threading.Thread(target=_write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def latest_meta(path: str | pathlib.Path) -> dict | None:
