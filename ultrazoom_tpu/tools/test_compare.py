@@ -36,7 +36,9 @@ def main(argv=None) -> None:
     from PIL import Image
 
     args = build_parser().parse_args(argv)
-    model = from_pretrained(args.model_path)
+    from ultrazoom_tpu.tools.validate import _load_model
+
+    model = _load_model(args.model_path)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     img = np.asarray(Image.open(args.image_path).convert("RGB"), np.float32) / 255.0

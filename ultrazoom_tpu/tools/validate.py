@@ -35,9 +35,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_model(path):
+    """HF-style dir OR a trainer checkpoint dir (meta.json present)."""
+    import pathlib
+
+    if (pathlib.Path(path) / "meta.json").exists():
+        from ultrazoom_tpu.tools.export import load_model_from_train_checkpoint
+
+        model, _ = load_model_from_train_checkpoint(path)
+        return model
+    return from_pretrained(path)
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    model = from_pretrained(args.model_path)
+    model = _load_model(args.model_path)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     c = ControlVector(args.gaussian_blur, args.gaussian_noise, args.jpeg_compression)
 
