@@ -33,9 +33,16 @@ body ``lax.scan``; this kernel at tile=32 runs ~42 ms — the 9 unaligned
 shifted-slice relayouts dominate and the halo overcompute adds ~13%.
 XLA:TPU's conv path is already near its layout-bound ceiling here (~56-60%
 MXU at C=96), so the fused kernel is kept as a correct, tested exemplar
-and an **experimental opt-in**, not the default path.  Revisit with an
-aligned-shift (pltpu.roll) formulation if the conv body ever becomes the
-bottleneck again.
+and an **experimental opt-in**, not the default path.
+
+An aligned-shift variant using ``pltpu.roll`` over the full window was also
+built and measured: identical ~44 ms (the taps' relayouts were not the
+bottleneck; small-K matmul shapes are), and bf16 rolls miscompile outright
+on this backend (16-bit packing pairs SUBLANES into 32-bit words, so the
+u32-bitcast workaround rolls row *pairs* — wrong for odd shifts).  The
+variant was removed; conclusion: beating XLA's conv here requires a
+fundamentally different schedule (e.g. K-fused multi-tap im2col in MXU
+layout), not tap-shift micro-optimisation.
 """
 
 from __future__ import annotations
@@ -106,12 +113,12 @@ def _extract_halo_tiles(xp: jax.Array, tile: int) -> jax.Array:
     return jnp.stack(rows, axis=1)
 
 
-def _border_masks(n_tiles: int, size: int, tile: int) -> jnp.ndarray:
-    """(n_tiles, tile+2) f32: 0 where the conv1-output row/col falls outside
-    [0, size), else 1."""
+def _border_masks(n_tiles: int, size: int, tile: int, extent: int) -> jnp.ndarray:
+    """(n_tiles, extent) f32: 0 where the conv1-output row/col at local
+    offset ph (global ``i*tile - 1 + ph``) falls outside [0, size)."""
     import numpy as np
 
-    idx = np.arange(n_tiles)[:, None] * tile - 1 + np.arange(tile + 2)[None, :]
+    idx = np.arange(n_tiles)[:, None] * tile - 1 + np.arange(extent)[None, :]
     return jnp.asarray(((idx >= 0) & (idx < size)).astype(np.float32))
 
 
@@ -147,8 +154,9 @@ def fused_bottleneck_block(
         else jnp.zeros((b, 2 * hc), jnp.float32)
     )
     nh, nw = hh // tile, ww // tile
-    row_mask = _border_masks(nh, hh, tile)
-    col_mask = _border_masks(nw, ww, tile)
+    mask_extent = tile + 2
+    row_mask = _border_masks(nh, hh, tile, mask_extent)
+    col_mask = _border_masks(nw, ww, tile, mask_extent)
 
     kernel = functools.partial(_kernel, T=tile, C=c, HC=hc, film=film)
     flops = 2 * b * nh * nw * 9 * c * hc * ((tile + 2) ** 2 + tile**2)
@@ -166,8 +174,8 @@ def fused_bottleneck_block(
             # Whole (B, 2*HC) array in one block; rows picked by program id
             # (TPU lowering wants sublane-divisible or full-size blocks).
             pl.BlockSpec((b, 2 * hc), lambda b_, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, tile + 2), lambda b_, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, tile + 2), lambda b_, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, mask_extent), lambda b_, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw, mask_extent), lambda b_, i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile, tile, c), lambda b_, i, j: (b_, i, j, 0), memory_space=pltpu.VMEM
