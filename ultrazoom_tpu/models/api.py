@@ -228,6 +228,26 @@ class MewZoomCtrl(_Base):
         params = _ctrl.torch_flat_to_params(sd, cfg)
         return cls(cfg, params)
 
+    @classmethod
+    def from_torch_state_dict(cls, state_dict) -> "MewZoomCtrl":
+        """Shape-driven import of ANY 0.1.x/0.2.x-era torch state dict —
+        key names are ignored, the architecture is reconstructed from
+        tensor shapes (convert/ctrl_import.py)."""
+        from ultrazoom_tpu.convert.ctrl_import import import_ctrl_state_dict
+
+        params, cfg = import_ctrl_state_dict(state_dict)
+        return cls(cfg, params)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path) -> "MewZoomCtrl":
+        """Load a 0.2.x-era .pt checkpoint (``model``/``model_args`` key
+        schema, validate.py:51-57) via the shape-driven importer."""
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt.get("upscaler", ckpt))
+        return cls.from_torch_state_dict(sd)
+
     def _to_torch_flat(self, params):
         return _ctrl.params_to_torch_flat(params, self.cfg)
 
