@@ -27,7 +27,6 @@ the initial scatter and final gather over ICI).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable
 
 import jax

@@ -18,7 +18,6 @@ from __future__ import annotations
 import pathlib
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["export_stablehlo", "load_stablehlo", "parity_check"]

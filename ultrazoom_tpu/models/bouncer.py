@@ -16,7 +16,6 @@ nn.transforms.spectral_* to reproduce that exactly.
 
 from __future__ import annotations
 
-import math
 from dataclasses import asdict, dataclass
 from typing import Any
 

@@ -27,8 +27,7 @@ Model graph (reference: model.py:149-164)::
 from __future__ import annotations
 
 import math
-from dataclasses import asdict, dataclass, field
-from functools import partial
+from dataclasses import asdict, dataclass
 from typing import Any
 
 import jax
@@ -37,7 +36,6 @@ import jax.numpy as jnp
 from ultrazoom_tpu.nn.init import (
     conv_default_bias,
     conv_default_weight,
-    kaiming_uniform,
 )
 from ultrazoom_tpu.ops import conv2d, crop_or_pad_to, pixel_shuffle, upsample2d
 

@@ -14,7 +14,6 @@ producing conv; there is no materialised intermediate on TPU.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["pixel_shuffle", "pixel_unshuffle"]
 

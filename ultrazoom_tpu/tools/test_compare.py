@@ -8,12 +8,11 @@ falls back to saving the two halves side by side with PIL).
 from __future__ import annotations
 
 import argparse
-import pathlib
 
 import jax.numpy as jnp
 import numpy as np
 
-from ultrazoom_tpu.models import ControlVector, MewZoomCtrl, from_pretrained
+from ultrazoom_tpu.models import ControlVector, MewZoomCtrl
 from ultrazoom_tpu.ops import upsample2d
 
 

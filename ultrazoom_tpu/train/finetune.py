@@ -29,7 +29,7 @@ from ultrazoom_tpu.nn.transforms import (
     spectral_init_state,
     spectral_materialize,
 )
-from ultrazoom_tpu.parallel import jit_data_parallel, shard_batch
+from ultrazoom_tpu.parallel import shard_batch
 from ultrazoom_tpu.parallel.mesh import make_mesh_for_batch
 from ultrazoom_tpu.train.steps import (
     GanTrainState,
