@@ -44,7 +44,8 @@ def main(argv=None) -> None:
         return
     print(f"{'module':<48} {'sigmoid(alpha)':>14} {'|gate conv|':>12}")
     for path, alpha, w in rows:
-        a = float(jnp.asarray(alpha))
+        # safetensors round-trips 0-d scalars as shape (1,)
+        a = float(np.asarray(alpha).reshape(-1)[0])
         gate = 1.0 / (1.0 + np.exp(-a))
         norm = float(np.linalg.norm(np.asarray(w)))
         print(f"{path:<48} {gate:>14.4f} {norm:>12.4f}")
