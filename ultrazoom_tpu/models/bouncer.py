@@ -66,6 +66,16 @@ PRESETS = {
 }
 
 
+def from_preconfigured(model_size: str, key: jax.Array, dtype=jnp.float32):
+    """Reference-API analog (``Bouncer.from_preconfigured``, model.py:1041):
+    returns (params, config) for a preset critic size."""
+    assert model_size in PRESETS, (
+        f"Invalid model size {model_size!r}; choose from {sorted(PRESETS)}."
+    )
+    cfg = PRESETS[model_size]
+    return init(key, cfg, dtype), cfg
+
+
 class _KeyGen:
     def __init__(self, key):
         self._key, self._n = key, 0

@@ -84,12 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--compute_dtype", default="bfloat16", choices=("bfloat16", "float32")
     )
+    p.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (fail fast on NaN; disables some fusion)",
+    )
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     seed = args.seed if args.seed is not None else random.randrange(2**31)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     base_meta = latest_meta(args.base_checkpoint_path)
     assert base_meta is not None, (
