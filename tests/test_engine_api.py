@@ -54,14 +54,15 @@ def test_tiled_model_interior_matches_whole():
     assert np.quantile(diff, 0.9) < 5e-3
 
 
-def test_tiled_mesh_sharded_runs():
+def test_tiled_mesh_sharded_matches_single_device():
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("data",))
     model = _tiny_unet()
-    eng = model.tiled(tile=16, overlap=4, tile_batch=len(devs), mesh=mesh)
     img = np.random.default_rng(2).uniform(0, 1, (33, 47, 3)).astype(np.float32)
-    out = eng(img)
-    assert out.shape == (66, 94, 3)
+    single = model.tiled(tile=16, overlap=4, tile_batch=len(devs))(img)
+    sharded = model.tiled(tile=16, overlap=4, tile_batch=len(devs), mesh=mesh)(img)
+    assert sharded.shape == (66, 94, 3)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
 def test_api_roundtrip_unet(tmp_path):
