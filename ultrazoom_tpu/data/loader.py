@@ -70,6 +70,18 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # Bounded put that re-checks the stop flag so an abandoned
+            # iterator (consumer broke out early) never strands the thread
+            # on a full queue.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
@@ -82,8 +94,9 @@ class BatchLoader:
                         k: np.stack([s[k] for s in samples])
                         for k in samples[0]
                     }
-                    q.put(batch)
-            q.put(None)
+                    if not _put(batch):
+                        return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
