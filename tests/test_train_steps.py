@@ -68,6 +68,45 @@ def test_pretrain_step_decreases_loss():
     assert int(state.step) == 16
 
 
+def test_pretrain_step_bf16_compute():
+    """Training must work under the CLI's default bf16 compute policy
+    (regression: f32-preferred conv accumulation broke the autodiff
+    transpose with mixed dtypes)."""
+    params = unet.init(jax.random.key(5), TINY_CFG)
+    vgg = init_vgg19_features(seed=0)
+    opt = make_optimizer(1e-3, 1.0)
+    step = jax.jit(
+        make_pretrain_step(TINY_CFG, opt, vgg, compute_dtype=jnp.bfloat16)
+    )
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    batch = _batch(seed=5)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    state, m2 = step(state, batch)
+    assert np.isfinite(float(m2["pixel_l2"]))
+
+
+def test_finetune_step_bf16_compute():
+    u_params = unet.init(jax.random.key(6), TINY_CFG)
+    c_params = bouncer.init(jax.random.key(7), TINY_CRITIC)
+    sn = spectral_init_state(c_params, jax.random.key(8), bouncer.spectral_norm_paths)
+    u_opt = make_optimizer(1e-4, 1.0)
+    c_opt = make_optimizer(5e-4, 5.0)
+    step = jax.jit(
+        make_finetune_step(
+            TINY_CFG, TINY_CRITIC, u_opt, c_opt, compute_dtype=jnp.bfloat16
+        ),
+        static_argnames="warmup",
+    )
+    state = GanTrainState(
+        u_params, u_opt.init(u_params), c_params, c_opt.init(c_params), sn,
+        jnp.zeros((), jnp.int32),
+    )
+    state, m = step(state, _batch(seed=6), warmup=False)
+    assert np.isfinite(float(m["critic_bce"]))
+    assert np.isfinite(float(m["pixel_l2"]))
+
+
 def test_pretrain_step_remat_matches():
     params = unet.init(jax.random.key(1), TINY_CFG)
     vgg = init_vgg19_features(seed=0)

@@ -49,6 +49,10 @@ def conv2d(
     if isinstance(padding, int):
         padding = (padding, padding)
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+    # Same-dtype conv, NO preferred_element_type: the MXU accumulates a
+    # bf16 pass in f32 internally regardless, and an explicit f32 upcast
+    # breaks autodiff (the transpose rule builds a conv over the f32
+    # cotangent and the bf16 kernel -> dtype-mismatch error).
     out = lax.conv_general_dilated(
         x,
         weight.astype(x.dtype),
@@ -56,8 +60,9 @@ def conv2d(
         padding=pad,
         dimension_numbers=DN_NHWC,
         feature_group_count=groups,
-        preferred_element_type=accum_dtype,
     )
     if bias is not None:
-        out = out + bias.astype(accum_dtype)
-    return out.astype(x.dtype)
+        out = (out.astype(accum_dtype) + bias.astype(accum_dtype)).astype(
+            out.dtype
+        )
+    return out
