@@ -35,7 +35,12 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_valid(x: jax.Array, k2d: np.ndarray) -> jax.Array:
-    """Depthwise valid-padding correlation of NHWC x with a 2-D kernel."""
+    """Depthwise valid-padding correlation of NHWC x with a 2-D kernel.
+
+    Pinned to HIGHEST precision: SSIM/VIF compute variances as
+    ``E[x^2] - mu^2`` — catastrophic cancellation that TPU's default
+    bf16-pass f32 convs corrupt badly enough to push SSIM above 1.
+    """
     c = x.shape[-1]
     k = jnp.asarray(k2d)[:, :, None, None]
     k = jnp.tile(k, (1, 1, 1, c))
@@ -47,6 +52,7 @@ def _depthwise_valid(x: jax.Array, k2d: np.ndarray) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
 
 
