@@ -110,7 +110,7 @@ def bench_control_sweep():
     for b, n, j in grid:
         cc = jnp.asarray([[b, n, j]], jnp.float32)
         outs.append(fn(params, x, cc))
-    float(outs[-1][0, 0, 0])  # close the pipeline
+    float(outs[-1][0, 0, 0, 0])  # close the pipeline
     dt = (time.perf_counter() - t0) / len(grid)
     ref = np.asarray(outs[0])
     deltas = [float(np.abs(np.asarray(o) - ref).max()) for o in outs[1:]]
