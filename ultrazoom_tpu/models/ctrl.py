@@ -206,6 +206,15 @@ def upscale(params, x, c=None, *, cfg, **kw) -> jax.Array:
     return jnp.clip(apply(params, x, c, cfg=cfg, **kw), 0.0, 1.0)
 
 
+def receptive_field_radius(cfg: MewZoomCtrlConfig) -> int:
+    """Input-pixel radius influencing one output pixel (pre-upscale):
+    stem 1x1 (0) + L blocks x two 3x3 convs (+1 each) + tail 3x3 (+1).
+    Use as guidance for the tile engine's ``overlap``: influence decays
+    fast with distance, so a fraction (e.g. 1/4) of this is visually
+    lossless; the full radius makes tiled == whole-image to float noise."""
+    return 2 * cfg.num_layers + 1
+
+
 def params_to_torch_flat(params: Params, cfg: MewZoomCtrlConfig) -> dict:
     """Unstack the scan body into per-layer torch-layout tensors.
 

@@ -318,6 +318,31 @@ def apply(
     return out, z_qa.astype(in_dtype)
 
 
+def receptive_field_radius(cfg: MewZoomConfig) -> int:
+    """Input-pixel radius influencing one output pixel (pre-upscale),
+    composed through the stride-2 pyramid: each 3x3 conv adds its jump
+    (1, 2, 4, 8 px at stages 1..4), each PixelCrush/SubpixelConv shifts the
+    jump.  Guidance for the tile engine's ``overlap`` (see ctrl docstring)."""
+    r, j = 0.0, 1.0
+    enc = [math.ceil(l / 2) for _, l in cfg.stages]
+    dec = [l // 2 for _, l in cfg.stages]
+    for si in range(4):
+        r += enc[si] * 2 * j  # two 3x3 convs per block
+        if si < 3:
+            r += 0.5 * j  # PixelCrush k=2 s=2
+            j *= 2
+    for si in range(4):
+        r += dec[3 - si] * 2 * j
+        if si < 3:
+            r += 1.0 * j  # SubpixelConv 3x3 before shuffle
+            j /= 2
+    n_sr = int(math.log2(cfg.upscale_ratio))
+    for _ in range(n_sr):
+        r += 3.0 * j  # refiner (2 convs) + subpixel conv
+        j /= 2
+    return math.ceil(r)
+
+
 def upscale(params, x, cfg, **kw) -> jax.Array:
     """Inference convenience: forward + clamp to [0, 1] (model.py:166-179)."""
     z, _ = apply(params, x, cfg, **kw)
