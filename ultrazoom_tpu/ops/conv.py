@@ -15,7 +15,9 @@ gradient math, f32 master weights outside).
 
 Semantics mirror ``torch.nn.Conv2d``: symmetric integer padding, floor
 division for strided output sizes (torch ``padding=0, stride=s`` ==
-XLA VALID), ``groups`` == ``feature_group_count``.
+XLA VALID), ``groups`` == ``feature_group_count`` — the conv flavours the
+reference model uses (3x3 pad-1, k=s strided PixelCrush, depthwise k7;
+reference src/ultrazoom/model.py:742-747, 857-863, 1295-1302).
 """
 
 from __future__ import annotations
