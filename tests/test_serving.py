@@ -1,0 +1,83 @@
+"""Serving layer: dynamic cross-request tile batching."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from ultrazoom_tpu.engine import TiledUpscaler, UpscaleService
+from ultrazoom_tpu.ops import upsample2d
+
+
+def _service(**kw):
+    return UpscaleService(
+        lambda x: upsample2d(x, 2), scale=2, tile=16, overlap=4, tile_batch=4,
+        max_wait_ms=10.0, **kw,
+    )
+
+
+def test_service_matches_batch_engine():
+    svc = _service()
+    try:
+        eng = TiledUpscaler(lambda x: upsample2d(x, 2), 2, tile=16, overlap=4)
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (20, 28, 3)).astype(np.float32)
+        got = svc.upscale(img)
+        want = eng(img)
+        assert got.shape == (40, 56, 3)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_concurrent_requests_batch_together():
+    svc = _service()
+    try:
+        rng = np.random.default_rng(1)
+        imgs = [rng.uniform(0, 1, (12, 12, 3)).astype(np.float32) for _ in range(8)]
+        futures = [svc.submit(im) for im in imgs]  # 2x2 tiles each = 32 jobs
+        results = [f.result(timeout=60) for f in futures]
+        for im, r in zip(imgs, results):
+            assert r.shape == (24, 24, 3)
+            # interior exact vs direct bicubic
+            want = np.asarray(upsample2d(np.asarray(im)[None], 2))[0]
+            np.testing.assert_allclose(r[8:-8, 8:-8], want[8:-8, 8:-8], atol=1e-5)
+        stats = svc.stats()
+        assert stats["requests"] == 8
+        assert stats["tiles"] == 32
+        # Cross-request batching: far fewer device steps than tile jobs.
+        assert stats["batches"] <= 16, stats
+    finally:
+        svc.close()
+
+
+def test_multithreaded_submissions():
+    svc = _service()
+    try:
+        rng = np.random.default_rng(2)
+        results = {}
+        lock = threading.Lock()
+
+        def client(i):
+            img = rng.uniform(0, 1, (10 + i, 14, 3)).astype(np.float32)
+            out = svc.upscale(img)
+            with lock:
+                results[i] = (img.shape, out.shape)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 6
+        for i, (in_shape, out_shape) in results.items():
+            assert out_shape == (in_shape[0] * 2, in_shape[1] * 2, 3)
+    finally:
+        svc.close()
+
+
+def test_submit_after_close_raises():
+    svc = _service()
+    svc.close()
+    with pytest.raises(AssertionError, match="closed"):
+        svc.submit(np.zeros((8, 8, 3), np.float32))

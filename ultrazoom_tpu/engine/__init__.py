@@ -1,3 +1,5 @@
 from ultrazoom_tpu.engine.infer import TiledUpscaler
+from ultrazoom_tpu.engine.serve import UpscaleService
+from ultrazoom_tpu.engine.tiling import plan_tiles
 
-__all__ = ["TiledUpscaler"]
+__all__ = ["TiledUpscaler", "UpscaleService", "plan_tiles"]

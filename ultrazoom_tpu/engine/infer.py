@@ -34,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ultrazoom_tpu.engine.tiling import extract_tiles, plan_tiles, stitch_cores
+
 __all__ = ["TiledUpscaler"]
 
 
@@ -92,14 +94,6 @@ class TiledUpscaler:
         else:
             self._fn = jax.jit(wrapped)
 
-    # -- geometry -----------------------------------------------------------
-
-    def _grid(self, h: int, w: int):
-        core = self.tile - 2 * self.overlap
-        ny = max(1, math.ceil(h / core))
-        nx = max(1, math.ceil(w / core))
-        return core, ny, nx
-
     def __call__(self, image: jax.Array | np.ndarray) -> np.ndarray:
         """Upscale (H, W, 3) or (N, H, W, 3); returns numpy at scale x size."""
         img = np.asarray(image)
@@ -108,40 +102,10 @@ class TiledUpscaler:
         return np.stack([self._one(im) for im in img])
 
     def _one(self, img: np.ndarray) -> np.ndarray:
-        h, w, c = img.shape
-        s, ov, tile = self.scale, self.overlap, self.tile
-        core, ny, nx = self._grid(h, w)
-
-        # Reflect-pad: overlap halo on top/left, and grow bottom/right so
-        # cores exactly cover the padded area.
-        pad_h = ov + (ny * core - h) + ov
-        pad_w = ov + (nx * core - w) + ov
-        padded = np.pad(
-            img, ((ov, pad_h - ov), (ov, pad_w - ov), (0, 0)), mode="reflect"
-        )
-
-        # Gather LR tiles.
-        tiles = np.empty((ny * nx, tile, tile, c), img.dtype)
-        k = 0
-        for iy in range(ny):
-            for ix in range(nx):
-                y0, x0 = iy * core, ix * core
-                tiles[k] = padded[y0 : y0 + tile, x0 : x0 + tile]
-                k += 1
-
+        plan = plan_tiles(img.shape, self.scale, self.tile, self.overlap)
+        tiles = extract_tiles(img, plan)
         sr_cores = self._run_batched(tiles)  # already halo-cropped on device
-
-        # Stitch cores.
-        cores = core * s
-        out = np.empty((ny * cores, nx * cores, c), sr_cores.dtype)
-        k = 0
-        for iy in range(ny):
-            for ix in range(nx):
-                out[
-                    iy * cores : (iy + 1) * cores, ix * cores : (ix + 1) * cores
-                ] = sr_cores[k]
-                k += 1
-        return out[: h * s, : w * s]
+        return stitch_cores(sr_cores, plan)
 
     def _run_batched(self, tiles: np.ndarray) -> np.ndarray:
         n = tiles.shape[0]

@@ -1,0 +1,171 @@
+"""Production serving layer: cross-request dynamic tile batching.
+
+The reference's deployment story stops at "export ONNX and run it"
+(README.md:131-222) — one request, one graph execution.  On TPU the
+economics differ: the chip wants large fixed-shape batches, and requests
+arrive at arbitrary sizes and times.  This service bridges the two:
+
+* every submitted image is decomposed into fixed-shape overlap tiles
+  (engine/tiling.py — the same geometry as the batch engine);
+* tile jobs from ALL in-flight requests share one queue; a worker drains
+  up to ``tile_batch`` tiles per device step, so concurrent small requests
+  ride the same MXU batch (dynamic batching);
+* a partial batch is padded and dispatched anyway once ``max_wait_ms``
+  expires, bounding tail latency;
+* when a request's tiles are all done, its SR image is stitched and its
+  Future resolves.
+
+Thread-safe; pure host-side orchestration around ONE compiled graph (no
+recompiles ever, any image size).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrazoom_tpu.engine.tiling import (
+    TilePlan,
+    extract_tiles,
+    plan_tiles,
+    stitch_cores,
+)
+
+__all__ = ["UpscaleService"]
+
+
+@dataclass
+class _Request:
+    plan: TilePlan
+    future: Future
+    cores: list  # per-tile SR cores, filled as they complete
+    remaining: int
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class UpscaleService:
+    """Dynamic-batching SR service over one fixed-shape compiled graph.
+
+    Args:
+        upscale_fn: ``f(x: (B, tile, tile, 3)) -> SR`` (same contract as
+            TiledUpscaler; typically ``partial(model.upscale, ...)``).
+        scale, tile, overlap: overlap-tile geometry.
+        tile_batch: tiles per device step (the compiled batch).
+        max_wait_ms: dispatch a padded partial batch after this long.
+    """
+
+    def __init__(
+        self,
+        upscale_fn: Callable,
+        scale: int,
+        tile: int = 256,
+        overlap: int = 16,
+        tile_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.scale = scale
+        self.tile = tile
+        self.overlap = overlap
+        self.tile_batch = tile_batch
+        self.max_wait = max_wait_ms / 1e3
+
+        ovs = overlap * scale
+        cores = (tile - 2 * overlap) * scale
+
+        def wrapped(x):
+            y = upscale_fn(x)
+            return y[:, ovs : ovs + cores, ovs : ovs + cores, :]
+
+        self._fn = jax.jit(wrapped)
+        self._jobs: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "tiles": 0, "batches": 0, "padded_slots": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue an (H, W, 3) float [0,1] image; resolves to (H*s, W*s, 3)."""
+        assert not self._closed.is_set(), "service is closed"
+        img = np.asarray(image)
+        assert img.ndim == 3, "submit one HWC image per call"
+        plan = plan_tiles(img.shape, self.scale, self.tile, self.overlap)
+        tiles = extract_tiles(img, plan)
+        req = _Request(
+            plan=plan,
+            future=Future(),
+            cores=[None] * plan.num_tiles,
+            remaining=plan.num_tiles,
+        )
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["tiles"] += plan.num_tiles
+        for k in range(plan.num_tiles):
+            self._jobs.put((req, k, tiles[k]))
+        return req.future
+
+    def upscale(self, image: np.ndarray) -> np.ndarray:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(image).result()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def close(self) -> None:
+        self._closed.set()
+        self._worker.join(timeout=10)
+
+    # -- worker --------------------------------------------------------------
+
+    def _collect_batch(self):
+        """Block for the first job, then fill the batch until full or
+        ``max_wait`` elapses."""
+        try:
+            first = self._jobs.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.tile_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                batch.append(self._jobs.get(timeout=timeout))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        c = 3
+        while not (self._closed.is_set() and self._jobs.empty()):
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            n = len(batch)
+            x = np.zeros((self.tile_batch, self.tile, self.tile, c), np.float32)
+            for i, (_, _, t) in enumerate(batch):
+                x[i] = t
+            out = np.asarray(self._fn(jnp.asarray(x)), np.float32)
+            with self._stats_lock:
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += self.tile_batch - n
+            for i, (req, k, _) in enumerate(batch):
+                with req.lock:
+                    req.cores[k] = out[i]
+                    req.remaining -= 1
+                    done = req.remaining == 0
+                if done:
+                    sr = stitch_cores(np.stack(req.cores), req.plan)
+                    req.future.set_result(sr)
