@@ -196,6 +196,20 @@ class MewZoom(_Base):
             fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, mesh, **engine_kw
         )
 
+    def serve(
+        self, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
+        compute_dtype=None,
+    ):
+        """Dynamic-batching serving handle (engine/serve.py): concurrent
+        requests of any size share fixed-shape device batches."""
+        from ultrazoom_tpu.engine.serve import UpscaleService
+
+        mat = _tr.materialize(self.params)
+        fn = partial(_unet.upscale, mat, cfg=self.cfg, compute_dtype=compute_dtype)
+        return UpscaleService(
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms
+        )
+
 
 class MewZoomCtrl(_Base):
     """The controllable flat-body architecture (0.1.x/0.2.x reconstruction,
