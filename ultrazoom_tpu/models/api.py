@@ -299,6 +299,33 @@ class MewZoomCtrl(_Base):
         )
         return (enhanced[0], bicubic[0]) if squeeze else (enhanced, bicubic)
 
+    def serve(
+        self, c=None, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
+        compute_dtype=None,
+    ):
+        """Dynamic-batching serving handle with a fixed control vector
+        (engine/serve.py)."""
+        from ultrazoom_tpu.engine.serve import UpscaleService
+
+        mat = _tr.materialize(self.params)
+        if isinstance(c, _ctrl.ControlVector):
+            c = c.to_tensor()
+
+        def fn(x):
+            cc = None
+            if self.cfg.controllable:
+                cv = (
+                    jnp.zeros((1, 3), jnp.float32)
+                    if c is None
+                    else jnp.atleast_2d(jnp.asarray(c, jnp.float32))
+                )
+                cc = jnp.broadcast_to(cv[:1], (x.shape[0], 3))
+            return _ctrl.upscale(mat, x, cc, cfg=self.cfg, compute_dtype=compute_dtype)
+
+        return UpscaleService(
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms
+        )
+
     def tiled(
         self, c=None, tile=256, overlap=16, tile_batch=8, mesh=None,
         compute_dtype=None, **engine_kw,
