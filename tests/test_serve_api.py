@@ -1,0 +1,94 @@
+"""model.serve() on both model classes + mesh-sharded finetune step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ultrazoom_tpu.models import ControlVector, MewZoom, MewZoomCtrl, bouncer, unet
+
+
+def test_unet_serve_roundtrip():
+    m = MewZoom.from_config(
+        MewZoom.Config(
+            upscale_ratio=2,
+            primary_channels=8, primary_layers=2,
+            secondary_channels=12, secondary_layers=2,
+            tertiary_channels=16, tertiary_layers=2,
+            quaternary_channels=24, quaternary_layers=2,
+        ),
+        seed=0,
+    )
+    svc = m.serve(tile=16, overlap=4, tile_batch=4)
+    try:
+        img = np.random.default_rng(0).uniform(0, 1, (20, 20, 3)).astype(np.float32)
+        out = svc.upscale(img)
+        assert out.shape == (40, 40, 3)
+        want = np.asarray(m.upscale(img))
+        np.testing.assert_allclose(out[8:-8, 8:-8], want[8:-8, 8:-8], atol=5e-3)
+    finally:
+        svc.close()
+
+
+def test_ctrl_serve_with_control_vector():
+    m = MewZoomCtrl.from_config(
+        MewZoomCtrl.Config(upscale_ratio=3, num_channels=8, num_layers=2), seed=1
+    )
+    svc = m.serve(ControlVector(0.5, 0.2, 0.3), tile=16, overlap=4, tile_batch=4)
+    try:
+        img = np.random.default_rng(1).uniform(0, 1, (18, 22, 3)).astype(np.float32)
+        out = svc.upscale(img)
+        assert out.shape == (54, 66, 3)
+    finally:
+        svc.close()
+
+
+def test_finetune_step_on_mesh():
+    """GAN step data-parallel over the 8-device CPU mesh."""
+    from ultrazoom_tpu.nn.transforms import spectral_init_state
+    from ultrazoom_tpu.parallel import make_mesh, shard_batch
+    from ultrazoom_tpu.parallel.mesh import batch_sharded, replicated
+    from ultrazoom_tpu.train import GanTrainState, make_finetune_step, make_optimizer
+
+    cfg = unet.MewZoomConfig(
+        upscale_ratio=2,
+        primary_channels=8, primary_layers=2,
+        secondary_channels=12, secondary_layers=2,
+        tertiary_channels=16, tertiary_layers=2,
+        quaternary_channels=24, quaternary_layers=2,
+    )
+    c_cfg = bouncer.BouncerConfig(
+        primary_channels=8, primary_layers=1, secondary_channels=12,
+        secondary_layers=1, tertiary_channels=16, tertiary_layers=1,
+        quaternary_channels=24, quaternary_layers=1,
+    )
+    u_params = unet.init(jax.random.key(0), cfg)
+    c_params = bouncer.init(jax.random.key(1), c_cfg)
+    sn = spectral_init_state(c_params, jax.random.key(2), bouncer.spectral_norm_paths)
+    u_opt = make_optimizer(1e-4, 1.0)
+    c_opt = make_optimizer(5e-4, 5.0)
+    state = GanTrainState(
+        u_params, u_opt.init(u_params), c_params, c_opt.init(c_params), sn,
+        jnp.zeros((), jnp.int32),
+    )
+
+    mesh = make_mesh()
+    step = jax.jit(
+        make_finetune_step(cfg, c_cfg, u_opt, c_opt),
+        static_argnums=2,
+        in_shardings=(replicated(mesh), batch_sharded(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    batch = shard_batch(
+        mesh,
+        {
+            "x": x,
+            "y": np.repeat(np.repeat(x, 2, 1), 2, 2),
+            "y_deg": rng.uniform(0, 1, (8, 3)).astype(np.float32),
+        },
+    )
+    new_state, m = step(state, batch, False)
+    assert np.isfinite(float(m["critic_bce"]))
+    assert np.isfinite(float(m["pixel_l2"]))
+    assert int(new_state.step) == 1
