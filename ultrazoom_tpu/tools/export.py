@@ -58,18 +58,10 @@ def load_model_from_train_checkpoint(path):
         state, meta = restore_state(path, like)
         return MewZoom(cfg, state.u_params), meta
 
-    like = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    try:
-        state, meta = restore_state(path, like)
-        return MewZoom(cfg, state.params), meta
-    except AssertionError:
-        # adaptive-loss checkpoints wrap params with the loss combiner
-        from ultrazoom_tpu.train.steps import wrap_params_with_loss_combiner
+    from ultrazoom_tpu.train.steps import load_pretrain_params
 
-        wrapped = wrap_params_with_loss_combiner(params)
-        like = TrainState(wrapped, opt.init(wrapped), jnp.zeros((), jnp.int32))
-        state, meta = restore_state(path, like)
-        return MewZoom(cfg, state.params["model"]), meta
+    model_params, meta = load_pretrain_params(path, cfg)
+    return MewZoom(cfg, model_params), meta
 
 
 def main(argv=None) -> None:

@@ -104,14 +104,11 @@ def main(argv=None) -> None:
     )
     cfg = unet.MewZoomConfig.from_dict(base_meta["upscaler_args"])
 
-    # Rebuild the pretrain state skeleton to restore into, then keep params.
-    u_params = unet.init(jax.random.key(0), cfg)
-    base_opt = make_optimizer(1.0)
-    base_state = TrainState(
-        u_params, base_opt.init(u_params), jnp.zeros((), jnp.int32)
-    )
-    base_state, _ = restore_state(args.base_checkpoint_path, base_state)
-    u_params = base_state.params
+    # Restore just the pretrained model params (handles plain and
+    # adaptive-loss checkpoint layouts).
+    from ultrazoom_tpu.train.steps import load_pretrain_params
+
+    u_params, _ = load_pretrain_params(args.base_checkpoint_path, cfg)
 
     c_cfg = bouncer.PRESETS[args.critic_model_size]
     c_params = bouncer.init(jax.random.key(seed + 1), c_cfg)

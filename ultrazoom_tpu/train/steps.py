@@ -119,6 +119,24 @@ def _mse(a, b):
     return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
+def load_pretrain_params(path, cfg: "_unet.MewZoomConfig"):
+    """Restore just the model params from a pretrain checkpoint directory,
+    handling both the plain and the adaptive-loss (wrapped) layouts."""
+    from ultrazoom_tpu.utils import restore_state
+
+    params = _unet.init(jax.random.key(0), cfg)
+    opt = make_optimizer(1.0)
+    like = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    try:
+        state, meta = restore_state(path, like)
+        return state.params, meta
+    except AssertionError:
+        wrapped = wrap_params_with_loss_combiner(params)
+        like = TrainState(wrapped, opt.init(wrapped), jnp.zeros((), jnp.int32))
+        state, meta = restore_state(path, like)
+        return state.params["model"], meta
+
+
 def wrap_params_with_loss_combiner(params) -> Any:
     """Augment a model param tree with learnable Kendall log-sigmas for the
     4 pretrain tasks (reference AdaptiveMultitaskLoss, loss.py:96-145)."""
