@@ -47,3 +47,20 @@ def test_adaptive_pretrain_step_trains_log_sigmas():
     s1_sigmas = np.asarray(state.params["loss_combiner"]["log_sigmas"])
     assert not np.allclose(s0_sigmas, s1_sigmas)  # combiner weights learn
     assert np.isfinite(float(m["loss"]))
+
+
+def test_load_pretrain_params_from_adaptive_checkpoint(tmp_path):
+    """Fine-tune/export must restore model params from adaptive-loss
+    checkpoints despite the different optimizer-state layout."""
+    from ultrazoom_tpu.train.steps import load_pretrain_params
+    from ultrazoom_tpu.utils import save_state
+
+    params = wrap_params_with_loss_combiner(unet.init(jax.random.key(1), TINY_CFG))
+    opt = make_adaptive_optimizer(1e-3, 1.0, 1)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    save_state(tmp_path / "ck", state, {"epoch": 1, "upscaler_args": TINY_CFG.to_dict()})
+
+    got, meta = load_pretrain_params(tmp_path / "ck", TINY_CFG)
+    assert meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(params["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -252,7 +252,12 @@ def main(argv=None) -> None:
             checkpointer.save(
                 args.checkpoint_path,
                 state,
-                {"epoch": epoch, "upscaler_args": cfg.to_dict(), "seed": seed},
+                {
+                    "epoch": epoch,
+                    "upscaler_args": cfg.to_dict(),
+                    "seed": seed,
+                    "loss_combiner": args.loss_combiner,
+                },
             )
             print(f"Checkpoint save started at epoch {epoch} (async).")
 

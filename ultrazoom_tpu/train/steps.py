@@ -121,20 +121,17 @@ def _mse(a, b):
 
 def load_pretrain_params(path, cfg: "_unet.MewZoomConfig"):
     """Restore just the model params from a pretrain checkpoint directory,
-    handling both the plain and the adaptive-loss (wrapped) layouts."""
-    from ultrazoom_tpu.utils import restore_state
+    handling both the plain and the adaptive-loss (wrapped) layouts — the
+    optimizer-state layout is irrelevant (positional prefix restore)."""
+    from ultrazoom_tpu.utils import latest_meta, restore_params_only
 
+    meta = latest_meta(path)
     params = _unet.init(jax.random.key(0), cfg)
-    opt = make_optimizer(1.0)
-    like = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     try:
-        state, meta = restore_state(path, like)
-        return state.params, meta
+        return restore_params_only(path, params), meta
     except AssertionError:
         wrapped = wrap_params_with_loss_combiner(params)
-        like = TrainState(wrapped, opt.init(wrapped), jnp.zeros((), jnp.int32))
-        state, meta = restore_state(path, like)
-        return state.params["model"], meta
+        return restore_params_only(path, wrapped)["model"], meta
 
 
 def wrap_params_with_loss_combiner(params) -> Any:

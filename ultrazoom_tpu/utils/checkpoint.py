@@ -24,7 +24,13 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["save_state", "restore_state", "latest_meta", "AsyncCheckpointer"]
+__all__ = [
+    "save_state",
+    "restore_state",
+    "restore_params_only",
+    "latest_meta",
+    "AsyncCheckpointer",
+]
 
 
 def save_state(path: str | pathlib.Path, state: Any, meta: dict) -> None:
@@ -86,6 +92,34 @@ class AsyncCheckpointer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+
+
+def restore_params_only(path: str | pathlib.Path, params_like: Any) -> Any:
+    """Restore just the parameters from a train-state checkpoint.
+
+    All train states store params as their FIRST field, so the params
+    leaves are a prefix of the flattened state.  This avoids reconstructing
+    the (optimizer-dependent) full state skeleton when only weights are
+    needed (e.g. fine-tuning from a pretrain checkpoint whose optimizer
+    layout differs).  Leaf shapes are verified against ``params_like``.
+    """
+    p = pathlib.Path(path)
+    meta = json.loads((p / "meta.json").read_text())
+    like_leaves = jax.tree.leaves(params_like)
+    assert meta["num_leaves"] >= len(like_leaves)
+    with np.load(p / "state.npz") as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(like_leaves))]
+    for got, ref in zip(leaves, like_leaves):
+        assert np.asarray(got).shape == np.asarray(ref).shape, (
+            f"checkpoint param shape {np.asarray(got).shape} != expected "
+            f"{np.asarray(ref).shape} — wrong params structure for this "
+            "checkpoint"
+        )
+    cast = [
+        np.asarray(l).astype(np.asarray(ref).dtype)
+        for l, ref in zip(leaves, like_leaves)
+    ]
+    return jax.tree.unflatten(jax.tree.structure(params_like), cast)
 
 
 def latest_meta(path: str | pathlib.Path) -> dict | None:
