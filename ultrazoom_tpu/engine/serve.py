@@ -70,7 +70,9 @@ class UpscaleService:
         overlap: int = 16,
         tile_batch: int = 8,
         max_wait_ms: float = 5.0,
+        output_dtype: str = "float32",
     ):
+        assert output_dtype in ("float32", "uint8")
         self.scale = scale
         self.tile = tile
         self.overlap = overlap
@@ -82,7 +84,12 @@ class UpscaleService:
 
         def wrapped(x):
             y = upscale_fn(x)
-            return y[:, ovs : ovs + cores, ovs : ovs + cores, :]
+            y = y[:, ovs : ovs + cores, ovs : ovs + cores, :]
+            if output_dtype == "uint8":
+                # Quantise on device: 4x less D2H (see engine/infer.py).
+                y = jnp.round(jnp.clip(y.astype(jnp.float32), 0, 1) * 255.0)
+                y = y.astype(jnp.uint8)
+            return y
 
         self._fn = jax.jit(wrapped)
         self._jobs: queue.Queue = queue.Queue()
@@ -157,7 +164,7 @@ class UpscaleService:
             x = np.zeros((self.tile_batch, self.tile, self.tile, c), np.float32)
             for i, (_, _, t) in enumerate(batch):
                 x[i] = t
-            out = np.asarray(self._fn(jnp.asarray(x)), np.float32)
+            out = np.asarray(self._fn(jnp.asarray(x)))
             with self._stats_lock:
                 self._stats["batches"] += 1
                 self._stats["padded_slots"] += self.tile_batch - n
