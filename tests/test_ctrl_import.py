@@ -75,6 +75,139 @@ def test_import_non_controllable():
     assert "film_w" not in params["body"]
 
 
+def _torch_ctrl_model(c=10, hc=20, layers=3, ratio=3, seed=0):
+    """A live torch 0.2.x-style model (so real parametrizations can be
+    attached the way the reference's loaders expect, validate.py:55-65)."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(seed)
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = nn.Conv2d(c, hc, 3, padding=1, bias=False)
+            self.control = nn.Linear(3, 2 * hc)
+            self.reduce = nn.Conv2d(hc, c, 3, padding=1, bias=False)
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(3, c, 1)
+            self.blocks = nn.ModuleList([Block() for _ in range(layers)])
+            self.tail = nn.Conv2d(c, 3 * ratio**2, 3, padding=1, bias=False)
+
+        def forward(self, x, cv):
+            s = F.interpolate(x, scale_factor=ratio, mode="bicubic")
+            z = self.stem(x)
+            for b in self.blocks:
+                h = b.expand(z)
+                gamma, beta = b.control(cv).chunk(2, dim=-1)
+                h = h * (1 + gamma[:, :, None, None]) + beta[:, :, None, None]
+                z = z + b.reduce(F.silu(h))
+            return s + F.pixel_shuffle(self.tail(z), ratio)
+
+    return Model()
+
+
+def _add_weight_norms(model):
+    """Reference add_weight_norms recipe: every conv (model.py:117-122)."""
+    import torch.nn as nn
+    from torch.nn.utils.parametrizations import weight_norm
+
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            weight_norm(m)
+
+
+def test_import_folds_weight_norm_and_compile_prefix():
+    """A 0.2.x training checkpoint is SAVED in parametrized form with
+    torch.compile prefixes (reference validate.py:55-65 recipe); the
+    shape-driven importer must fold g/v and strip _orig_mod. — previously
+    v was silently misread as the kernel and g dropped."""
+    import torch.nn.utils.parametrize as parametrize
+
+    c, hc, L, r = 10, 20, 3, 3
+    model = _torch_ctrl_model(c, hc, L, r)
+    _add_weight_norms(model)
+    sd = {f"_orig_mod.{k}": v.clone() for k, v in model.state_dict().items()}
+    assert any("parametrizations.weight.original0" in k for k in sd)
+
+    params, cfg = import_ctrl_state_dict(sd)
+    assert (cfg.num_channels, cfg.num_layers, cfg.upscale_ratio) == (c, L, r)
+    assert cfg.controllable
+
+    # Torch side of the recipe: remove_parameterizations -> plain weights.
+    import torch.nn as nn
+
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            parametrize.remove_parametrizations(m, "weight")
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (2, 3, 12, 12)).astype(np.float32)
+    cvec = np.asarray([[0.4, 0.1, 0.7], [0.0, 1.0, 0.2]], np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x), torch.from_numpy(cvec)).numpy()
+
+    got = ctrl.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(cvec), cfg=cfg
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_import_folds_lora_on_weight_norm():
+    """ChannelLoRA adapters stacked on weight norm (export_model.ipynb
+    cell-3 load path) fold into the kernels with the out-of-band alpha."""
+    import sys
+
+    sys.path.insert(0, str(pytest.importorskip("pathlib").Path(__file__).parent))
+    from reference_oracle import load_reference_model_module, reference_available
+
+    if not reference_available():
+        pytest.skip("reference snapshot unavailable")
+    ref = load_reference_model_module()
+
+    import torch.nn as nn
+    import torch.nn.utils.parametrize as parametrize
+
+    c, hc, L, r = 8, 16, 2, 2
+    alpha = 0.7
+    model = _torch_ctrl_model(c, hc, L, r)
+    _add_weight_norms(model)
+    torch.manual_seed(7)
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            parametrize.register_parametrization(
+                m, "weight", ref.ChannelLoRA(m, rank=2, alpha=alpha)
+            )
+    # Make the (zero-init lora_b) adapters non-trivial.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith("lora_b"):
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    sd = {k: v.clone() for k, v in model.state_dict().items()}
+    assert any(".lora_a" in k for k in sd)
+    params, cfg = import_ctrl_state_dict(sd, lora_alpha=alpha)
+
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            parametrize.remove_parametrizations(m, "weight")
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 3, 10, 10)).astype(np.float32)
+    cvec = np.asarray([[0.3, 0.6, 0.9]], np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x), torch.from_numpy(cvec)).numpy()
+    got = ctrl.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(cvec), cfg=cfg
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_import_roundtrip_from_our_own_export():
     """Our own Ctrl export must re-import by shape alone."""
     cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=2)

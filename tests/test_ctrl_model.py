@@ -83,14 +83,14 @@ def test_film_matches_torch_semantics():
     z = F.conv2d(xt, oihw(p["stem"]["conv"]["weight"]),
                  torch.from_numpy(np.asarray(p["stem"]["conv"]["bias"])))
     for i in range(cfg.num_layers):
-        h = F.conv2d(z, oihw(p["body"]["conv1"][i]), padding=1)
+        h = F.conv2d(z, oihw(p["body"]["conv1"]["weight"][i]), padding=1)
         gb = ct @ torch.from_numpy(np.asarray(p["body"]["film_w"][i])) + torch.from_numpy(
             np.asarray(p["body"]["film_b"][i])
         )
         gamma, beta = gb.chunk(2, dim=-1)
         h = h * (1 + gamma[:, :, None, None]) + beta[:, :, None, None]
         h = F.silu(h)
-        h = F.conv2d(h, oihw(p["body"]["conv2"][i]), padding=1)
+        h = F.conv2d(h, oihw(p["body"]["conv2"]["weight"][i]), padding=1)
         z = z + h
     z = F.conv2d(z, oihw(p["tail"]["conv"]["weight"]), padding=1)
     z = F.pixel_shuffle(z, 2)

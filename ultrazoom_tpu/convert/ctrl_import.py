@@ -13,9 +13,17 @@ model from tensor *shapes* (the approach SURVEY.md section 7 prescribes):
   controllability and the control-feature count k.
 * tail: the 3x3 conv (C -> 3*r^2) -> infers the upscale ratio.
 
+Torch parametrizations are folded FIRST (``fold_parametrizations_flat``):
+the reference's 0.2.x load recipe (validate.py:55-65) proves training
+checkpoints carry ``parametrizations.weight.original0/original1`` weight-
+norm factors (plus optional ChannelLoRA), which would otherwise corrupt the
+shape walk (v picked up unnormalised, g dropped).  ``_orig_mod.`` prefixes
+are stripped in the same pass.
+
 Returns (params, inferred MewZoomCtrlConfig).  Verified against synthetic
-torch checkpoints with unrelated key names (tests/test_ctrl_import.py);
-when a real HF download is available this is the entry point:
+torch checkpoints with unrelated key names, with and without weight norm
+(tests/test_ctrl_import.py); when a real HF download is available this is
+the entry point:
 
     sd = safetensors.torch.load_file("model.safetensors")
     params, cfg = import_ctrl_state_dict(sd)
@@ -28,24 +36,27 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from ultrazoom_tpu.convert.torch_import import fold_parametrizations_flat
 from ultrazoom_tpu.models.ctrl import MewZoomCtrlConfig
 
 __all__ = ["import_ctrl_state_dict"]
-
-
-def _to_np(v) -> np.ndarray:
-    return v if isinstance(v, np.ndarray) else v.detach().cpu().numpy()
 
 
 def _hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
 
-def import_ctrl_state_dict(state_dict) -> tuple[dict, MewZoomCtrlConfig]:
-    """Reconstruct (params, config) from a flat torch state dict by shape."""
-    items = [
-        (k.replace("_orig_mod.", ""), _to_np(v)) for k, v in state_dict.items()
-    ]
+def import_ctrl_state_dict(
+    state_dict, *, lora_alpha: float | None = None
+) -> tuple[dict, MewZoomCtrlConfig]:
+    """Reconstruct (params, config) from a flat torch state dict by shape.
+
+    ``lora_alpha``: scale for ChannelLoRA deltas if the checkpoint carries
+    adapters (torch stores alpha out-of-band in ``ckpt["lora_args"]``).
+    """
+    items = list(
+        fold_parametrizations_flat(state_dict, lora_alpha=lora_alpha).items()
+    )
 
     stem_w = stem_b = tail_w = None
     body_convs: list[np.ndarray] = []
@@ -114,8 +125,8 @@ def import_ctrl_state_dict(state_dict) -> tuple[dict, MewZoomCtrlConfig]:
         num_control_features=nf,
     )
     body = {
-        "conv1": jnp.stack([jnp.asarray(_hwio(w)) for w in conv1s]),
-        "conv2": jnp.stack([jnp.asarray(_hwio(w)) for w in conv2s]),
+        "conv1": {"weight": jnp.stack([jnp.asarray(_hwio(w)) for w in conv1s])},
+        "conv2": {"weight": jnp.stack([jnp.asarray(_hwio(w)) for w in conv2s])},
     }
     if controllable:
         body["film_w"] = jnp.stack([jnp.asarray(w.T) for w in film_ws])

@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "strip_compile_prefix",
+    "fold_parametrizations_flat",
     "torch_state_dict_to_tree",
     "flatten_tree",
     "unflatten_to_lists",
@@ -87,9 +88,57 @@ def _collect_parametrizations(sd: dict[str, np.ndarray]):
 
 
 def _fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """g * v / ||v||, norms over OIHW dims (1,2,3) — torch weight_norm dim=0."""
-    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=(1, 2, 3), keepdims=True))
+    """g * v / ||v||, norms over all non-output dims — torch weight_norm
+    dim=0 (OIHW dims (1,2,3) for convs; dim 1 for Linear weights)."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
     return (g.astype(np.float64) * v.astype(np.float64) / norm).astype(v.dtype)
+
+
+def fold_parametrizations_flat(
+    state_dict: Mapping[str, Any], *, lora_alpha: float | None = None
+) -> dict[str, np.ndarray]:
+    """Fold every torch parametrization into a plain tensor, keeping torch
+    layout (OIHW convs) and flat dotted keys.
+
+    Pre-processing pass for shape-driven importers (convert/ctrl_import.py).
+    The reference's 0.2.x load path proves its training checkpoints are
+    SAVED in parametrized form (validate.py:55-65: ``add_weight_norms()`` ->
+    ``load_state_dict()`` -> ``remove_parameterizations()``), so any
+    importer that walks raw keys must first fold
+
+    * weight norm: ``parametrizations.weight.original0`` (g) +
+      ``.original1`` (v)  ->  ``g * v / ||v||`` (what torch's
+      ``remove_parametrizations(leave_parametrized=True)`` materializes),
+    * ChannelLoRA: ``.{n}.lora_a/_b`` factor pairs (delta =
+      ``(A @ B).permute(2,3,0,1)``, reference src/ultrazoom/model.py:1388),
+    * spectral norm: ``.original`` kept as-is, power-iteration ``._u``/
+      ``._v`` buffers dropped (critic-only; generators never carry it),
+
+    and strip ``_orig_mod.`` torch.compile prefixes.
+    """
+    sd = {k: _to_numpy(v) for k, v in strip_compile_prefix(state_dict).items()}
+    plain, groups = _collect_parametrizations(sd)
+    for (mod, pname), entries in groups.items():
+        if "original0" in entries and "original1" in entries:
+            w = _fold_weight_norm(entries["original0"], entries["original1"])
+        elif "original" in entries:
+            w = entries["original"]
+        else:
+            raise ValueError(
+                f"Unrecognized parametrization layout at {mod}.{pname}: "
+                f"{sorted(entries)}"
+            )
+        lora_keys = sorted(k for k in entries if k.endswith(".lora_a"))
+        if lora_keys:
+            idx = lora_keys[0][: -len(".lora_a")]
+            a = entries[f"{idx}.lora_a"]  # (kh, kw, out, r)
+            b = entries[f"{idx}.lora_b"]  # (kh, kw, r, in)
+            alpha = 1.0 if lora_alpha is None else float(lora_alpha)
+            delta = np.einsum("hwor,hwri->oihw", a, b)
+            w = w + alpha * delta.astype(w.dtype)
+        plain[f"{mod}.{pname}"] = w
+    return plain
 
 
 def torch_state_dict_to_tree(

@@ -66,6 +66,14 @@ class TiledUpscaler:
     ):
         assert tile > 2 * overlap >= 0
         assert output_dtype in ("float32", "uint8")
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            assert tile_batch % n_dev == 0, (
+                f"tile_batch ({tile_batch}) must be divisible by the mesh "
+                f"device count ({n_dev}) so tile batches shard evenly over "
+                f"axis {mesh.axis_names[0]!r} — raise tile_batch or shrink "
+                f"the mesh."
+            )
         self.scale = scale
         self.tile = tile
         self.overlap = overlap

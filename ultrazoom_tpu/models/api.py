@@ -198,16 +198,19 @@ class MewZoom(_Base):
 
     def serve(
         self, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
-        compute_dtype=None,
+        compute_dtype=None, output_dtype="float32",
     ):
         """Dynamic-batching serving handle (engine/serve.py): concurrent
-        requests of any size share fixed-shape device batches."""
+        requests of any size share fixed-shape device batches.
+        ``output_dtype="uint8"`` quantises on device — 4x less D2H (the
+        dominant cost for large outputs)."""
         from ultrazoom_tpu.engine.serve import UpscaleService
 
         mat = _tr.materialize(self.params)
         fn = partial(_unet.upscale, mat, cfg=self.cfg, compute_dtype=compute_dtype)
         return UpscaleService(
-            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
+            output_dtype=output_dtype,
         )
 
 
@@ -243,13 +246,14 @@ class MewZoomCtrl(_Base):
         return cls(cfg, params)
 
     @classmethod
-    def from_torch_state_dict(cls, state_dict) -> "MewZoomCtrl":
+    def from_torch_state_dict(cls, state_dict, lora_alpha=None) -> "MewZoomCtrl":
         """Shape-driven import of ANY 0.1.x/0.2.x-era torch state dict —
         key names are ignored, the architecture is reconstructed from
-        tensor shapes (convert/ctrl_import.py)."""
+        tensor shapes; weight-norm/LoRA parametrizations and ``_orig_mod.``
+        prefixes are folded/stripped first (convert/ctrl_import.py)."""
         from ultrazoom_tpu.convert.ctrl_import import import_ctrl_state_dict
 
-        params, cfg = import_ctrl_state_dict(state_dict)
+        params, cfg = import_ctrl_state_dict(state_dict, lora_alpha=lora_alpha)
         return cls(cfg, params)
 
     @classmethod
@@ -260,7 +264,8 @@ class MewZoomCtrl(_Base):
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt.get("upscaler", ckpt))
-        return cls.from_torch_state_dict(sd)
+        lora_args = ckpt.get("lora_args") or {}
+        return cls.from_torch_state_dict(sd, lora_alpha=lora_args.get("alpha"))
 
     def _to_torch_flat(self, params):
         return _ctrl.params_to_torch_flat(params, self.cfg)
@@ -301,10 +306,11 @@ class MewZoomCtrl(_Base):
 
     def serve(
         self, c=None, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
-        compute_dtype=None,
+        compute_dtype=None, output_dtype="float32",
     ):
         """Dynamic-batching serving handle with a fixed control vector
-        (engine/serve.py)."""
+        (engine/serve.py).  ``output_dtype="uint8"`` quantises on device —
+        4x less D2H."""
         from ultrazoom_tpu.engine.serve import UpscaleService
 
         mat = _tr.materialize(self.params)
@@ -323,7 +329,8 @@ class MewZoomCtrl(_Base):
             return _ctrl.upscale(mat, x, cc, cfg=self.cfg, compute_dtype=compute_dtype)
 
         return UpscaleService(
-            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms
+            fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
+            output_dtype=output_dtype,
         )
 
     def tiled(

@@ -114,9 +114,12 @@ def init(key: jax.Array, cfg: MewZoomCtrlConfig, dtype=jnp.float32) -> Params:
     def stack(make):
         return jnp.stack([make(keys[next(ki)]) for _ in range(L)])
 
+    # Stacked scan-body layout: every conv kernel lives under a "weight"
+    # key (like the rest of the framework) so nn/transforms weight-norm /
+    # LoRA apply to 100% of conv params (reference model.py:117-129).
     body = {
-        "conv1": stack(lambda k: conv_default_weight(k, (3, 3, c, h), dtype)),
-        "conv2": stack(lambda k: conv_default_weight(k, (3, 3, h, c), dtype)),
+        "conv1": {"weight": stack(lambda k: conv_default_weight(k, (3, 3, c, h), dtype))},
+        "conv2": {"weight": stack(lambda k: conv_default_weight(k, (3, 3, h, c), dtype))},
     }
     if cfg.controllable:
         f = cfg.num_control_features
@@ -156,7 +159,7 @@ def _body_scan(body: Params, z: jax.Array, c: jax.Array | None) -> jax.Array:
         h = conv2d(h, p["conv2"], padding=1)
         return z + h, None
 
-    xs = {"conv1": body["conv1"], "conv2": body["conv2"]}
+    xs = {"conv1": body["conv1"]["weight"], "conv2": body["conv2"]["weight"]}
     if controllable:
         xs["film_w"] = body["film_w"]
         xs["film_b"] = body["film_b"]
@@ -235,8 +238,8 @@ def params_to_torch_flat(params: Params, cfg: MewZoomCtrlConfig) -> dict:
     }
     body = params["body"]
     for i in range(cfg.num_layers):
-        flat[f"body.{i}.conv1.weight"] = oihw(body["conv1"][i])
-        flat[f"body.{i}.conv2.weight"] = oihw(body["conv2"][i])
+        flat[f"body.{i}.conv1.weight"] = oihw(body["conv1"]["weight"][i])
+        flat[f"body.{i}.conv2.weight"] = oihw(body["conv2"]["weight"][i])
         if cfg.controllable:
             # torch Linear: weight (out, in) with y = x W^T; ours is (in, out).
             flat[f"body.{i}.film.weight"] = np.asarray(body["film_w"][i]).T.copy()
@@ -258,8 +261,8 @@ def torch_flat_to_params(sd: dict, cfg: MewZoomCtrlConfig) -> Params:
 
     L = cfg.num_layers
     body = {
-        "conv1": jnp.stack([jnp.asarray(hwio(sd[f"body.{i}.conv1.weight"])) for i in range(L)]),
-        "conv2": jnp.stack([jnp.asarray(hwio(sd[f"body.{i}.conv2.weight"])) for i in range(L)]),
+        "conv1": {"weight": jnp.stack([jnp.asarray(hwio(sd[f"body.{i}.conv1.weight"])) for i in range(L)])},
+        "conv2": {"weight": jnp.stack([jnp.asarray(hwio(sd[f"body.{i}.conv2.weight"])) for i in range(L)])},
     }
     if cfg.controllable:
         body["film_w"] = jnp.stack(

@@ -19,6 +19,13 @@ a plain jittable pytree):
 * spectral norm is stateful (power iteration) and lives in
   :func:`spectral_materialize` with an explicit (params, state) signature.
 
+Stacked kernels: a 5-D ``(L, kh, kw, I, O)`` weight (the Ctrl body's
+``lax.scan`` layout, models/ctrl.py) is treated as L independent convs —
+weight norm uses ``g: (L, O)`` with norms over (kh, kw, I) per (layer, out
+channel), LoRA factors gain the leading L axis — so the reference's
+"every conv" semantics (src/ultrazoom/model.py:117-129) hold for scan
+bodies too, folding the whole stack in one fused op outside the scan.
+
 LoRA factors keep torch's ``ChannelLoRA`` shapes (A: (h, w, out, r),
 B: (h, w, r, in), delta = (A @ B).permute to weight layout; reference
 src/ultrazoom/model.py:1372-1390) so torch checkpoints convert 1:1.
@@ -56,19 +63,21 @@ def _is_lora(node) -> bool:
 
 def _fold_wn(node):
     v = node["v"]
-    # Norm over all axes except the HWIO output axis (== torch dims 1,2,3
-    # of OIHW).  Computed in f32 for stability regardless of storage dtype.
+    # Norm over the (kh, kw, I) axes — all except the HWIO output axis
+    # (== torch dims 1,2,3 of OIHW) and a leading stack axis if 5-D.
+    # Computed in f32 for stability regardless of storage dtype.
     v32 = v.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(v32 * v32, axis=(0, 1, 2), keepdims=True))
-    w = node["g"].astype(jnp.float32) * v32 / norm
-    return w.astype(v.dtype)
+    norm = jnp.sqrt(jnp.sum(v32 * v32, axis=(-4, -3, -2), keepdims=True))
+    g = node["g"].astype(jnp.float32)
+    g = g.reshape(g.shape[:-1] + (1, 1, 1) + g.shape[-1:])
+    return (g * v32 / norm).astype(v.dtype)
 
 
 def _fold_lora(node):
     base = node["base"]
     w = _fold_wn(base) if _is_wn(base) else base
-    # (h,w,O,r) @ (h,w,r,I) -> (h,w,O,I) -> HWIO (h,w,I,O)
-    delta = jnp.einsum("hwor,hwri->hwio", node["lora_a"], node["lora_b"])
+    # (...,h,w,O,r) @ (...,h,w,r,I) -> (...,h,w,I,O) = (stacked) HWIO
+    delta = jnp.einsum("...or,...ri->...io", node["lora_a"], node["lora_b"])
     return w + node["lora_alpha"].astype(w.dtype) * delta.astype(w.dtype)
 
 
@@ -119,7 +128,7 @@ def add_weight_norm(params: Params) -> Params:
         if _is_wn(w) or _is_lora(w):
             return w
         w32 = w.astype(jnp.float32)
-        g = jnp.sqrt(jnp.sum(w32 * w32, axis=(0, 1, 2))).astype(w.dtype)
+        g = jnp.sqrt(jnp.sum(w32 * w32, axis=(-4, -3, -2))).astype(w.dtype)
         return {"g": g, "v": w}
 
     return _map_weights(params, to_wn)
@@ -144,14 +153,14 @@ def add_lora(params: Params, rank: int, alpha: float, key: jax.Array) -> Params:
         if _is_lora(w):
             return w
         base = w["v"] if _is_wn(w) else w
-        kh, kw, i, o = base.shape
+        *lead, kh, kw, i, o = base.shape
         k = jax.random.fold_in(key, counter[0])
         counter[0] += 1
         lora_a = (
-            jax.random.normal(k, (kh, kw, o, rank), jnp.float32)
+            jax.random.normal(k, (*lead, kh, kw, o, rank), jnp.float32)
             / math.sqrt(rank)
         ).astype(base.dtype)
-        lora_b = jnp.zeros((kh, kw, rank, i), base.dtype)
+        lora_b = jnp.zeros((*lead, kh, kw, rank, i), base.dtype)
         return {
             "base": w,
             "lora_a": lora_a,
