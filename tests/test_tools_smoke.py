@@ -50,3 +50,62 @@ def test_profile_tool_runs(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "ms/iter" in out
+
+
+def test_make_demo_dataset_feeds_image_folder(tmp_path):
+    from ultrazoom_tpu.data import AugmentConfig, DegradationConfig, ImageFolder
+    from ultrazoom_tpu.tools.make_demo_dataset import make_dataset
+
+    tr, te = make_dataset(tmp_path / "ds", n_train=4, n_test=2, size=64, seed=0)
+    assert (tr, te) == (4, 2)
+    ds = ImageFolder(
+        str(tmp_path / "ds" / "train"), 32, 2, DegradationConfig(), AugmentConfig(32)
+    )
+    assert len(ds) == 4
+    import numpy as np
+
+    s = ds[(0, np.random.default_rng(0))]
+    assert s["x"].shape == (16, 16, 3) and s["y"].shape == (32, 32, 3)
+    assert s["y_deg"].shape == (3,)
+
+
+def test_channel_pad_is_exact_identity_f32():
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.tools.exp_channel_pad import pad_ctrl_params
+
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=6, num_layers=3)
+    params = ctrl.init(jax.random.key(0), cfg)
+    padded, pcfg = pad_ctrl_params(params, cfg, 8)
+    assert pcfg.num_channels == 8
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 10, 10, 3)), jnp.float32
+    )
+    c = jnp.asarray([[0.3, 0.6, 0.9], [0.0, 0.2, 1.0]], jnp.float32)
+    a = np.asarray(ctrl.apply(params, x, c, cfg=cfg))
+    b = np.asarray(ctrl.apply(padded, x, c, cfg=pcfg))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_make_validation_pairs_roundtrip(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from ultrazoom_tpu.data import ImagePairs
+    from ultrazoom_tpu.tools.make_demo_dataset import make_validation_pairs
+
+    hr = tmp_path / "hr_src"
+    hr.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            (rng.uniform(0, 1, (37, 41, 3)) * 255).astype(np.uint8)
+        ).save(hr / f"im{i}.png")
+    n = make_validation_pairs(hr, tmp_path / "pairs", ratio=3)
+    assert n == 3
+    ds = ImagePairs(str(tmp_path / "pairs" / "lr"), str(tmp_path / "pairs" / "hr"))
+    pair = ds[0]
+    assert pair["y"].shape == (36, 39, 3)  # cropped to multiple of 3
+    assert pair["x"].shape == (12, 13, 3)

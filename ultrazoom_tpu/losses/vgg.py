@@ -73,8 +73,6 @@ def init_vgg19_features(
 
         sd = load_file(path)
         convs = []
-        idx = 0
-        pos = 0
         # torchvision indices: conv layers appear at 0,2,5,7,10,... skip relu/pool
         tv_indices = []
         i = 0
@@ -84,15 +82,20 @@ def init_vgg19_features(
             else:
                 tv_indices.append(i)
                 i += 2
+        # Host (numpy) arrays: the frozen weights enter jitted steps as
+        # closure constants, and embedding host constants is free, whereas
+        # device-resident constants force an ~80 MB D2H read at trace time
+        # (fails outright on the tunneled dev backend).
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
         for ti in tv_indices[:_N_CONVS_54]:
             w = sd[f"features.{ti}.weight"]  # OIHW
             b = sd[f"features.{ti}.bias"]
             convs.append(
                 {
-                    "weight": jnp.asarray(
-                        np.transpose(w, (2, 3, 1, 0)).copy(), dtype
-                    ),
-                    "bias": jnp.asarray(b, dtype),
+                    "weight": np.ascontiguousarray(
+                        np.transpose(w, (2, 3, 1, 0))
+                    ).astype(np_dtype),
+                    "bias": np.asarray(b, np_dtype),
                 }
             )
         return convs
@@ -103,13 +106,21 @@ def init_vgg19_features(
         "export of torchvision VGG19 for the reference behaviour).",
         stacklevel=2,
     )
-    key = jax.random.key(seed)
+    # Generate on the host CPU backend (same PRNG stream as any device) and
+    # return numpy — see the host-constants note above.
+    cpu = jax.local_devices(backend="cpu")[0]
     convs = []
-    for n, (cin, cout) in enumerate(_CONV_CHANNELS[:_N_CONVS_54]):
-        k = jax.random.fold_in(key, n)
-        fan_in = 9 * cin
-        w = jax.random.normal(k, (3, 3, cin, cout), dtype) * jnp.sqrt(2.0 / fan_in)
-        convs.append({"weight": w, "bias": jnp.zeros((cout,), dtype)})
+    with jax.default_device(cpu):
+        key = jax.random.key(seed)
+        for n, (cin, cout) in enumerate(_CONV_CHANNELS[:_N_CONVS_54]):
+            k = jax.random.fold_in(key, n)
+            fan_in = 9 * cin
+            w = jax.random.normal(k, (3, 3, cin, cout), dtype) * jnp.sqrt(
+                2.0 / fan_in
+            )
+            convs.append(
+                {"weight": np.asarray(w), "bias": np.zeros((cout,), w.dtype)}
+            )
     return convs
 
 

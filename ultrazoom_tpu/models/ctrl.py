@@ -146,7 +146,9 @@ def init(key: jax.Array, cfg: MewZoomCtrlConfig, dtype=jnp.float32) -> Params:
     }
 
 
-def _body_scan(body: Params, z: jax.Array, c: jax.Array | None) -> jax.Array:
+def _body_scan(
+    body: Params, z: jax.Array, c: jax.Array | None, remat: bool = False
+) -> jax.Array:
     controllable = "film_w" in body
 
     def step(z, p):
@@ -158,6 +160,13 @@ def _body_scan(body: Params, z: jax.Array, c: jax.Array | None) -> jax.Array:
         h = jax.nn.silu(h)
         h = conv2d(h, p["conv2"], padding=1)
         return z + h, None
+
+    if remat:
+        # Activation checkpointing per scan layer (reference
+        # enable_activation_checkpointing analog, model.py:453-459): only
+        # the C-wide carry is saved; the hC-wide hiddens — the dominant
+        # training allocation — are recomputed in the backward pass.
+        step = jax.checkpoint(step)
 
     xs = {"conv1": body["conv1"]["weight"], "conv2": body["conv2"]["weight"]}
     if controllable:
@@ -174,6 +183,7 @@ def apply(
     *,
     cfg: MewZoomCtrlConfig,
     compute_dtype: jnp.dtype | None = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Forward: bicubic zoom + learned residual enhancement.
 
@@ -181,6 +191,7 @@ def apply(
         x: (N, H, W, 3) image in [0, 1].
         c: control vector — (3,), (1, 3) or (N, 3) array, a ControlVector,
            or None (-> zeros, i.e. no enhancement steer).
+        remat: checkpoint each body layer (training-memory saver).
     """
     if isinstance(c, ControlVector):
         c = c.to_tensor()
@@ -196,7 +207,7 @@ def apply(
 
     z = x.astype(compute_dtype) if compute_dtype is not None else x
     z = conv2d(z, params["stem"]["conv"]["weight"], params["stem"]["conv"]["bias"])
-    z = _body_scan(params["body"], z, c if cfg.controllable else None)
+    z = _body_scan(params["body"], z, c if cfg.controllable else None, remat=remat)
     z = conv2d(z, params["tail"]["conv"]["weight"], padding=1)
     z = pixel_shuffle(z, cfg.upscale_ratio)
 

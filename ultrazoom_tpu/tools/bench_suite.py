@@ -36,19 +36,63 @@ def _time_fn(fn, args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_ctrl(preset, size, batch, iters=8, compute_dtype=jnp.bfloat16):
+def bench_ctrl(
+    preset, size, batch, iters=8, compute_dtype=jnp.bfloat16, controllable=True
+):
+    import dataclasses
+
     from ultrazoom_tpu.models import ctrl
 
-    cfg = ctrl.PRESETS[preset]
+    cfg = dataclasses.replace(ctrl.PRESETS[preset], controllable=controllable)
     params = ctrl.init(jax.random.key(0), cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)), jnp.float32)
-    c = jnp.tile(jnp.asarray([[0.5, 0.2, 0.3]], jnp.float32), (batch, 1))
+    c = (
+        jnp.tile(jnp.asarray([[0.5, 0.2, 0.3]], jnp.float32), (batch, 1))
+        if controllable
+        else None
+    )
     fn = jax.jit(
         lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=compute_dtype)
     )
-    dt = _time_fn(lambda xx, cc: fn(params, xx, cc), (x, c), iters)
+    dt = _time_fn(lambda xx: fn(params, xx, c), (x,), iters)
     return dt, batch * size * size / 1e6
+
+
+def bench_serving(n_images=8, size=1024, iters=1):
+    """Dynamic-batching service throughput: concurrent mixed-size requests
+    share fixed-shape uint8 device batches (engine/serve.py)."""
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.engine.serve import UpscaleService
+
+    cfg = ctrl.PRESETS["4x"]
+    params = ctrl.init(jax.random.key(0), cfg)
+
+    def fn(x):
+        cc = jnp.broadcast_to(jnp.asarray([[0.5, 0.2, 0.3]]), (x.shape[0], 3))
+        return ctrl.upscale(params, x, cc, cfg=cfg, compute_dtype=jnp.bfloat16)
+
+    svc = UpscaleService(
+        fn, scale=4, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
+        output_dtype="uint8",
+    )
+    try:
+        rng = np.random.default_rng(0)
+        imgs = [
+            rng.uniform(0, 1, (size, size - 64 * (i % 3), 3)).astype(np.float32)
+            for i in range(n_images)
+        ]
+        svc.upscale(imgs[0])  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            futs = [svc.submit(im) for im in imgs]
+            for f in futs:
+                f.result()
+        dt = (time.perf_counter() - t0) / iters
+        mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+    finally:
+        svc.close()
+    return dt, mp
 
 
 def bench_unet(size, batch, iters=4, compute_dtype=jnp.bfloat16):
@@ -121,6 +165,10 @@ def bench_control_sweep():
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--skip_4k", action="store_true")
+    p.add_argument(
+        "--quick", action="store_true",
+        help="headline rows only (skip non-Ctrl variants, batch sweep, serving)",
+    )
     args = p.parse_args(argv)
 
     dev = jax.devices()[0].device_kind
@@ -132,6 +180,19 @@ def main(argv=None) -> None:
     rows.append(("3X Ctrl 3.5M, 512^2 b4", dt, mp))
     dt, mp = bench_ctrl("4x", 512, 8)
     rows.append(("4X Ctrl 14M, 512^2 b8 [headline]", dt, mp))
+    if not args.quick:
+        # Non-Ctrl (controllable=False) variants — the other half of the
+        # published checkpoint table (BASELINE.md configs).
+        dt, mp = bench_ctrl("2x", 256, 1, controllable=False)
+        rows.append(("2X non-Ctrl 1.7M, 256^2 b1", dt, mp))
+        dt, mp = bench_ctrl("3x", 512, 4, controllable=False)
+        rows.append(("3X non-Ctrl 3.4M, 512^2 b4", dt, mp))
+        dt, mp = bench_ctrl("4x", 512, 8, controllable=False)
+        rows.append(("4X non-Ctrl 14M, 512^2 b8", dt, mp))
+        # Batch sweep 1..8 on the headline config.
+        for b in (1, 2, 4):
+            dt, mp = bench_ctrl("4x", 512, b)
+            rows.append((f"4X Ctrl 14M, 512^2 b{b} [sweep]", dt, mp))
     dt, mp, dmin, dmax = bench_control_sweep()
     rows.append(("2X Ctrl control sweep (8 settings)", dt, mp))
     dt, mp = bench_unet(256, 1)
@@ -139,6 +200,9 @@ def main(argv=None) -> None:
     if not args.skip_4k:
         dt, mp = bench_tiled_4k()
         rows.append(("4X Ctrl tiled 4K->16K stream", dt, mp))
+    if not args.quick:
+        dt, mp = bench_serving()
+        rows.append(("4X Ctrl serving: 8 concurrent ~1MP reqs, uint8", dt, mp))
 
     print(f"\nDevice: {dev}")
     print(f"{'scenario':<42} {'ms/call':>10} {'input MP/s':>12}")

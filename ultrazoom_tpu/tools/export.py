@@ -31,13 +31,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_model_from_train_checkpoint(path):
-    """Rebuild a MewZoom from a pretrain/finetune checkpoint directory."""
+    """Rebuild a MewZoom/MewZoomCtrl from a pretrain/finetune checkpoint
+    directory (arch recorded in meta.json by the pretrain CLI)."""
     from ultrazoom_tpu.models import MewZoom, unet
     from ultrazoom_tpu.train.steps import GanTrainState, TrainState, make_optimizer
     from ultrazoom_tpu.utils import latest_meta, restore_state
 
     meta = latest_meta(path)
     assert meta is not None, f"no checkpoint at {path}"
+
+    if meta.get("architecture") == "mewzoom-ctrl":
+        from ultrazoom_tpu.models import MewZoomCtrl
+        from ultrazoom_tpu.models import ctrl as _ctrl
+        from ultrazoom_tpu.train.steps import wrap_params_with_loss_combiner
+        from ultrazoom_tpu.utils import restore_params_only
+
+        ccfg = _ctrl.MewZoomCtrlConfig.from_dict(meta["upscaler_args"])
+        init_params = _ctrl.init(jax.random.key(0), ccfg)
+        try:
+            params = restore_params_only(path, init_params)
+        except AssertionError:  # adaptive-loss layout (wrapped params)
+            wrapped = wrap_params_with_loss_combiner(init_params, 3)
+            params = restore_params_only(path, wrapped)["model"]
+        return MewZoomCtrl(ccfg, params), meta
+
     cfg = unet.MewZoomConfig.from_dict(meta["upscaler_args"])
     params = unet.init(jax.random.key(0), cfg)
     opt = make_optimizer(1.0)
@@ -85,20 +102,36 @@ def main(argv=None) -> None:
         print(f"Pushed to hub: {args.push_to_hub}")
 
     if args.stablehlo:
+        from ultrazoom_tpu.models import MewZoomCtrl
+        from ultrazoom_tpu.models import ctrl as _ctrl
+
         mat = materialize(model.params)
-
-        def fn(x):
-            return _unet.upscale(mat, x, model.cfg)
-
         x = jnp.zeros(
             (args.stablehlo_batch, args.stablehlo_size, args.stablehlo_size, 3),
             jnp.float32,
         )
-        export_stablehlo(args.stablehlo, fn, (x,))
-        loaded = load_stablehlo(args.stablehlo)
         rng = np.random.default_rng(0)
-        xr = jnp.asarray(rng.uniform(0, 1, x.shape), jnp.float32)
-        parity_check(fn, loaded, (xr,))  # reference ONNX-gate tolerances
+        if isinstance(model, MewZoomCtrl):
+            # (x, c) inputs — the reference's 0.2.x ONNX interface
+            # (export_model.ipynb cell-9).
+            def fn(x, c):
+                return _ctrl.upscale(mat, x, c, cfg=model.cfg)
+
+            c = jnp.zeros((args.stablehlo_batch, 3), jnp.float32)
+            example = (x, c)
+            check = (
+                jnp.asarray(rng.uniform(0, 1, x.shape), jnp.float32),
+                jnp.asarray(rng.uniform(0, 1, c.shape), jnp.float32),
+            )
+        else:
+            def fn(x):
+                return _unet.upscale(mat, x, model.cfg)
+
+            example = (x,)
+            check = (jnp.asarray(rng.uniform(0, 1, x.shape), jnp.float32),)
+        export_stablehlo(args.stablehlo, fn, example)
+        loaded = load_stablehlo(args.stablehlo)
+        parity_check(fn, loaded, check)  # reference ONNX-gate tolerances
         print(f"StableHLO artifact written + parity-checked: {args.stablehlo}")
 
 

@@ -1,6 +1,8 @@
 from ultrazoom_tpu.train.steps import (
     GanTrainState,
     TrainState,
+    make_ctrl_eval_step,
+    make_ctrl_pretrain_step,
     make_eval_step,
     make_finetune_step,
     make_optimizer,
@@ -10,6 +12,8 @@ from ultrazoom_tpu.train.steps import (
 __all__ = [
     "GanTrainState",
     "TrainState",
+    "make_ctrl_eval_step",
+    "make_ctrl_pretrain_step",
     "make_eval_step",
     "make_finetune_step",
     "make_optimizer",

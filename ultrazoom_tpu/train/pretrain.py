@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_images_path", default="./dataset/test")
     p.add_argument("--num_dataset_processes", type=int, default=8)
     p.add_argument("--target_resolution", type=int, default=256)
-    p.add_argument("--upscale_ratio", type=int, default=2, choices=(2, 4, 8))
+    p.add_argument("--upscale_ratio", type=int, default=2, choices=(2, 3, 4, 8))
     p.add_argument("--min_gaussian_blur", type=float, default=0.0)
     p.add_argument("--max_gaussian_blur", type=float, default=1.0)
     p.add_argument("--min_gaussian_noise", type=float, default=0.0)
@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contrast_jitter", type=float, default=0.1)
     p.add_argument("--saturation_jitter", type=float, default=0.1)
     p.add_argument("--hue_jitter", type=float, default=0.1)
+    p.add_argument(
+        "--arch", default="unet", choices=("unet", "ctrl"),
+        help="unet = 0.3.0 flagship; ctrl = controllable 0.1.x/0.2.x "
+        "architecture (the published-checkpoint family)",
+    )
+    # 0.2.x-era flags (reference README.md:254-257), used with --arch ctrl.
+    p.add_argument("--num_channels", type=int, default=48)
+    p.add_argument("--num_encoder_layers", type=int, default=20)
+    p.add_argument("--controllable", action="store_true", default=True)
+    p.add_argument("--no_controllable", dest="controllable", action="store_false")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--num_epochs", type=int, default=100)
@@ -106,18 +116,36 @@ def main(argv=None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    cfg = unet.MewZoomConfig(
-        upscale_ratio=args.upscale_ratio,
-        primary_channels=args.num_primary_channels,
-        primary_layers=args.num_primary_layers,
-        secondary_channels=args.num_secondary_channels,
-        secondary_layers=args.num_secondary_layers,
-        tertiary_channels=args.num_tertiary_channels,
-        tertiary_layers=args.num_tertiary_layers,
-        quaternary_channels=args.num_quaternary_channels,
-        quaternary_layers=args.num_quaternary_layers,
-        hidden_ratio=args.hidden_ratio,
-    )
+    is_ctrl = args.arch == "ctrl"
+    if is_ctrl:
+        from ultrazoom_tpu.models import ctrl as _ctrl
+
+        assert args.upscale_ratio in (2, 3, 4), (
+            "the Ctrl architecture supports x2/x3/x4"
+        )
+        cfg = _ctrl.MewZoomCtrlConfig(
+            upscale_ratio=args.upscale_ratio,
+            num_channels=args.num_channels,
+            num_layers=args.num_encoder_layers,
+            hidden_ratio=min(args.hidden_ratio, 4),
+            controllable=args.controllable,
+        )
+    else:
+        assert args.upscale_ratio in (2, 4, 8), (
+            "the 0.3.0 U-Net supports x2/x4/x8 (use --arch ctrl for x3)"
+        )
+        cfg = unet.MewZoomConfig(
+            upscale_ratio=args.upscale_ratio,
+            primary_channels=args.num_primary_channels,
+            primary_layers=args.num_primary_layers,
+            secondary_channels=args.num_secondary_channels,
+            secondary_layers=args.num_secondary_layers,
+            tertiary_channels=args.num_tertiary_channels,
+            tertiary_layers=args.num_tertiary_layers,
+            quaternary_channels=args.num_quaternary_channels,
+            quaternary_layers=args.num_quaternary_layers,
+            hidden_ratio=args.hidden_ratio,
+        )
     deg = DegradationConfig(
         args.min_gaussian_blur, args.max_gaussian_blur,
         args.min_gaussian_noise, args.max_gaussian_noise,
@@ -146,7 +174,12 @@ def main(argv=None) -> None:
     compute_dtype = (
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
-    params = unet.init(jax.random.key(seed), cfg)
+    if is_ctrl:
+        from ultrazoom_tpu.models import ctrl as _ctrl
+
+        params = _ctrl.init(jax.random.key(seed), cfg)
+    else:
+        params = unet.init(jax.random.key(seed), cfg)
     vgg = init_vgg19_features(args.vgg_weights_path, seed=0)
     if args.loss_combiner == "adaptive":
         from ultrazoom_tpu.train.steps import (
@@ -154,7 +187,7 @@ def main(argv=None) -> None:
             wrap_params_with_loss_combiner,
         )
 
-        params = wrap_params_with_loss_combiner(params)
+        params = wrap_params_with_loss_combiner(params, 3 if is_ctrl else 4)
         optimizer = make_adaptive_optimizer(
             args.upscaler_learning_rate,
             args.max_gradient_norm,
@@ -174,12 +207,22 @@ def main(argv=None) -> None:
         start_epoch = meta["epoch"] + 1
         print(f"Resumed from epoch {meta['epoch']}.")
 
-    step_fn = make_pretrain_step(
-        cfg, optimizer, vgg,
-        remat=args.activation_checkpointing,
-        compute_dtype=compute_dtype,
-        loss_combiner=args.loss_combiner,
-    )
+    if is_ctrl:
+        from ultrazoom_tpu.train.steps import make_ctrl_pretrain_step
+
+        step_fn = make_ctrl_pretrain_step(
+            cfg, optimizer, vgg,
+            compute_dtype=compute_dtype,
+            loss_combiner=args.loss_combiner,
+            remat=args.activation_checkpointing,
+        )
+    else:
+        step_fn = make_pretrain_step(
+            cfg, optimizer, vgg,
+            remat=args.activation_checkpointing,
+            compute_dtype=compute_dtype,
+            loss_combiner=args.loss_combiner,
+        )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         step = jit_data_parallel(step_fn, mesh, donate_state=False)
@@ -188,7 +231,12 @@ def main(argv=None) -> None:
         step = jax.jit(step_fn, donate_argnums=0)
         put = lambda b: jax.tree.map(jnp.asarray, b)
 
-    eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+    if is_ctrl:
+        from ultrazoom_tpu.train.steps import make_ctrl_eval_step
+
+        eval_fn = jax.jit(make_ctrl_eval_step(cfg, compute_dtype=compute_dtype))
+    else:
+        eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
     logger = ScalarLogger(args.run_dir_path)
     checkpointer = AsyncCheckpointer()
     print(
@@ -228,7 +276,14 @@ def main(argv=None) -> None:
                 else state.params
             )
             for batch in test_loader:
-                sr, _ = eval_fn(model_params, jnp.asarray(batch["x"]))
+                if is_ctrl:
+                    sr = eval_fn(
+                        model_params,
+                        jnp.asarray(batch["x"]),
+                        jnp.asarray(batch["y_deg"]),
+                    )
+                else:
+                    sr, _ = eval_fn(model_params, jnp.asarray(batch["x"]))
                 y = jnp.asarray(batch["y"])
                 bicubic = jnp.clip(
                     upsample2d(jnp.asarray(batch["x"]), cfg.upscale_ratio), 0, 1
@@ -255,6 +310,7 @@ def main(argv=None) -> None:
                 {
                     "epoch": epoch,
                     "upscaler_args": cfg.to_dict(),
+                    "architecture": "mewzoom-ctrl" if is_ctrl else "mewzoom-unet",
                     "seed": seed,
                     "loss_combiner": args.loss_combiner,
                 },

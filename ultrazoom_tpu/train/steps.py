@@ -46,8 +46,10 @@ __all__ = [
     "GanTrainState",
     "make_optimizer",
     "make_pretrain_step",
+    "make_ctrl_pretrain_step",
     "make_finetune_step",
     "make_eval_step",
+    "make_ctrl_eval_step",
 ]
 
 
@@ -134,10 +136,11 @@ def load_pretrain_params(path, cfg: "_unet.MewZoomConfig"):
         return restore_params_only(path, wrapped)["model"], meta
 
 
-def wrap_params_with_loss_combiner(params) -> Any:
+def wrap_params_with_loss_combiner(params, num_tasks: int = 4) -> Any:
     """Augment a model param tree with learnable Kendall log-sigmas for the
-    4 pretrain tasks (reference AdaptiveMultitaskLoss, loss.py:96-145)."""
-    return {"model": params, "loss_combiner": adaptive_multitask_init(4)}
+    pretrain tasks (reference AdaptiveMultitaskLoss, loss.py:96-145): 4 for
+    the U-Net (pixel, vgg22, vgg54, degradation), 3 for Ctrl (no QA head)."""
+    return {"model": params, "loss_combiner": adaptive_multitask_init(num_tasks)}
 
 
 def make_pretrain_step(
@@ -162,7 +165,13 @@ def make_pretrain_step(
             mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
         )
         pixel = _mse(sr, batch["y"])
-        l22, l54 = vgg_loss(vgg_convs, sr, batch["y"])
+        # VGG towers at the compute dtype — the reference autocasts the
+        # compiled VGG loss to bf16 (pretrain.py:117-123,200); f32 towers
+        # also blow HBM at batch 32 x 256^2 (the final MSEs stay f32).
+        ld = compute_dtype or sr.dtype
+        l22, l54 = vgg_loss(
+            vgg_convs, sr.astype(ld), batch["y"].astype(ld)
+        )
         deg = _mse(qa, batch["y_deg"])
         losses = jnp.stack([pixel, l22, l54, deg])
         if adaptive:
@@ -186,6 +195,80 @@ def make_pretrain_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), aux
+
+    return step
+
+
+def make_ctrl_pretrain_step(
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    vgg_convs,
+    compute_dtype=None,
+    loss_combiner: str = "balanced",
+    remat: bool = False,
+) -> Callable:
+    """Stage-1 step for the controllable 0.1.x/0.2.x architecture
+    (models/ctrl.py — the family of every published HF checkpoint).
+
+    The FiLM control input is conditioned on the TRUE sampled degradation
+    strengths (``c = y_deg``), so the body learns to modulate enhancement
+    per degradation — the recipe the 0.2.x inference API implies (the user
+    asserts the degradation mix via ``ControlVector`` at inference,
+    reference README.md:88-129 / validate.py:73-82).  Loss: pixel MSE +
+    vgg22 + vgg54, balanced (this architecture has no QA head; the
+    reference's 0.2.x ``--num_channels/--num_encoder_layers`` flags,
+    README.md:254-257, are restored by the pretrain CLI's ``--arch ctrl``).
+    """
+    from ultrazoom_tpu.models import ctrl as _ctrl
+
+    assert loss_combiner in ("balanced", "adaptive")
+    adaptive = loss_combiner == "adaptive"
+
+    def loss_fn(params, batch):
+        model_params = params["model"] if adaptive else params
+        mat = materialize(model_params)
+        sr = _ctrl.apply(
+            mat, batch["x"], batch["y_deg"], cfg=model_cfg,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+        pixel = _mse(sr, batch["y"])
+        # bf16 VGG towers under mixed precision (see make_pretrain_step).
+        ld = compute_dtype or sr.dtype
+        l22, l54 = vgg_loss(
+            vgg_convs, sr.astype(ld), batch["y"].astype(ld)
+        )
+        losses = jnp.stack([pixel, l22, l54])
+        if adaptive:
+            total = adaptive_multitask(params["loss_combiner"], losses)
+        else:
+            total = balanced_multitask(losses)
+        return total, {
+            "loss": total, "pixel_l2": pixel, "vgg22_l2": l22, "vgg54_l2": l54,
+        }
+
+    def step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        aux["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return step
+
+
+def make_ctrl_eval_step(model_cfg, compute_dtype=None) -> Callable:
+    """Ctrl eval: clamp'd SR conditioned on the true degradation labels
+    (what the reference's validate.py does with its assumed-control
+    tensor)."""
+    from ultrazoom_tpu.models import ctrl as _ctrl
+
+    def step(params, x, y_deg):
+        mat = materialize(params)
+        return _ctrl.upscale(
+            mat, x, y_deg, cfg=model_cfg, compute_dtype=compute_dtype
+        )
 
     return step
 
