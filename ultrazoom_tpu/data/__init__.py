@@ -1,4 +1,9 @@
 from ultrazoom_tpu.data.augment import AugmentConfig, augment
+from ultrazoom_tpu.data.cached import (
+    CachedImageFolder,
+    build_sample_cache,
+    is_sample_cache,
+)
 from ultrazoom_tpu.data.datasets import ImageFolder, ImagePairs
 from ultrazoom_tpu.data.degradations import DegradationConfig, degrade
 from ultrazoom_tpu.data.loader import BatchLoader
@@ -11,4 +16,7 @@ __all__ = [
     "DegradationConfig",
     "degrade",
     "BatchLoader",
+    "CachedImageFolder",
+    "build_sample_cache",
+    "is_sample_cache",
 ]

@@ -156,13 +156,26 @@ def main(argv=None) -> None:
         args.saturation_jitter, args.hue_jitter,
     )
 
-    train_ds = ImageFolder(
-        args.train_images_path, args.target_resolution, args.upscale_ratio, deg, aug
-    )
-    test_ds = ImageFolder(
-        args.test_images_path, args.target_resolution, args.upscale_ratio, deg,
-        AugmentConfig(args.target_resolution, 0, 0, 0, 0, horizontal_flip=False),
-    )
+    # A path produced by tools/cache_dataset.py (pre-degraded memmaps,
+    # bit-identical to the live pipeline) is auto-detected and served at
+    # memory bandwidth — the fix for loader-bound hosts.
+    from ultrazoom_tpu.data import CachedImageFolder, is_sample_cache
+
+    if is_sample_cache(args.train_images_path):
+        train_ds = CachedImageFolder(args.train_images_path)
+        print(f"Using sample cache for training data: {args.train_images_path}")
+    else:
+        train_ds = ImageFolder(
+            args.train_images_path, args.target_resolution, args.upscale_ratio,
+            deg, aug,
+        )
+    if is_sample_cache(args.test_images_path):
+        test_ds = CachedImageFolder(args.test_images_path)
+    else:
+        test_ds = ImageFolder(
+            args.test_images_path, args.target_resolution, args.upscale_ratio, deg,
+            AugmentConfig(args.target_resolution, 0, 0, 0, 0, horizontal_flip=False),
+        )
     train_loader = BatchLoader(
         train_ds, args.batch_size, seed=seed, num_workers=args.num_dataset_processes
     )
