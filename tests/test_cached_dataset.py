@@ -45,17 +45,27 @@ def test_cache_is_bit_identical_to_live_pipeline(live_ds, tmp_path):
     )
     assert meta["n_samples"] == len(live_ds) * variants
 
-    cached = CachedImageFolder(tmp_path / "c")
-    assert len(cached) == meta["n_samples"]
+    cached_f32 = CachedImageFolder(tmp_path / "c", dtype="float32")
+    cached_u8 = CachedImageFolder(tmp_path / "c")  # default: uint8 transport
+    assert len(cached_f32) == meta["n_samples"]
     for v in range(variants):
         for i in range(len(live_ds)):
             rng = np.random.default_rng(np.random.SeedSequence([seed, v, i]))
             live = live_ds[(i, rng)]
-            got = cached[(v * len(live_ds) + i, None)]
+            got = cached_f32[(v * len(live_ds) + i, None)]
             for k in ("x", "y", "y_deg"):
                 np.testing.assert_array_equal(
                     got[k], live[k], err_msg=f"variant {v} image {i} key {k}"
                 )
+            # uint8 transport is the same data exactly: f32(u8)/255 == live.
+            got8 = cached_u8[(v * len(live_ds) + i, None)]
+            assert got8["x"].dtype == np.uint8 and got8["y"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                got8["x"].astype(np.float32) / 255.0, live["x"]
+            )
+            np.testing.assert_array_equal(
+                got8["y"].astype(np.float32) / 255.0, live["y"]
+            )
 
 
 def test_cache_detection_and_loader(live_ds, tmp_path):
@@ -74,10 +84,104 @@ def test_cache_detection_and_loader(live_ds, tmp_path):
     batches = list(loader)
     assert len(batches) == 3  # 6 samples / 2
     b = batches[0]
-    assert b["x"].shape == (2, 16, 16, 3) and b["x"].dtype == np.float32
-    assert b["y"].shape == (2, 32, 32, 3)
-    assert b["y_deg"].shape == (2, 3)
-    assert 0.0 <= b["x"].min() and b["x"].max() <= 1.0
+    assert b["x"].shape == (2, 16, 16, 3) and b["x"].dtype == np.uint8
+    assert b["y"].shape == (2, 32, 32, 3) and b["y"].dtype == np.uint8
+    assert b["y_deg"].shape == (2, 3) and b["y_deg"].dtype == np.float32
+
+
+def test_uint8_batch_equals_float_batch():
+    """Train steps accept uint8 batches (device-side /255) with results
+    bit-identical to pre-normalised f32 batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultrazoom_tpu.losses import init_vgg19_features
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.train import (
+        TrainState, make_ctrl_pretrain_step, make_optimizer,
+    )
+
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=2)
+    params = ctrl.init(jax.random.key(0), cfg)
+    opt = make_optimizer(1e-3, 1.0)
+    step = jax.jit(make_ctrl_pretrain_step(cfg, opt, init_vgg19_features(seed=0)))
+
+    rng = np.random.default_rng(3)
+    x8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    y8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    deg = rng.uniform(0, 1, (2, 3)).astype(np.float32)
+    b8 = {"x": x8, "y": y8, "y_deg": deg}
+    bf = {
+        "x": x8.astype(np.float32) / 255.0,
+        "y": y8.astype(np.float32) / 255.0,
+        "y_deg": deg,
+    }
+
+    s0 = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    s_a, m_a = step(s0, b8)
+    s_b, m_b = step(s0, bf)
+    np.testing.assert_array_equal(
+        np.asarray(m_a["loss"]), np.asarray(m_b["loss"])
+    )
+    # The /255 normalisation itself is value-exact (loss above is
+    # bit-identical), but XLA may fuse it into downstream convs and
+    # reassociate f32 ops — gradients agree to float noise, not bits.
+    for la, lb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_device_resident_gather_step(live_ds, tmp_path):
+    """Device-resident data: gather-step == loader-step on the same batch,
+    and the epoch permutation matches BatchLoader's."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultrazoom_tpu.data import BatchLoader, CachedImageFolder, build_sample_cache
+    from ultrazoom_tpu.losses import init_vgg19_features
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.train import (
+        TrainState, make_ctrl_pretrain_step, make_optimizer,
+    )
+    from ultrazoom_tpu.train.device_data import (
+        cache_nbytes,
+        epoch_batch_indices,
+        make_gather_step,
+        upload_cache,
+    )
+
+    build_sample_cache(live_ds, tmp_path / "c", num_variants=2, seed=0)
+    ds = CachedImageFolder(tmp_path / "c")
+    assert cache_nbytes(ds) == ds._x.nbytes + ds._y.nbytes + ds._deg.nbytes
+
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=2)
+    params = ctrl.init(jax.random.key(0), cfg)
+    opt = make_optimizer(1e-3, 1.0)
+    step_fn = make_ctrl_pretrain_step(cfg, opt, init_vgg19_features(seed=0))
+    s0 = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    data = upload_cache(ds)
+    gstep = make_gather_step(step_fn)
+
+    # Same epoch-0 order as BatchLoader with the same seed.
+    loader = BatchLoader(ds, batch_size=2, seed=11, num_workers=1)
+    loader_batches = list(loader)
+    idx_batches = list(epoch_batch_indices(len(ds), 2, 11, 0))
+    assert len(loader_batches) == len(idx_batches)
+    np.testing.assert_array_equal(
+        loader_batches[0]["x"], np.asarray(ds._x)[idx_batches[0]]
+    )
+
+    # One gather step == one step on the equivalent host batch.  (Host
+    # step first: gstep donates the state, invalidating shared param
+    # buffers.)
+    s0b = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    _, m_h = jax.jit(step_fn)(s0b, loader_batches[0])
+    _, m_g = gstep(s0, data, jnp.asarray(idx_batches[0]))
+    np.testing.assert_allclose(
+        float(m_g["loss"]), float(m_h["loss"]), rtol=1e-6
+    )
 
 
 def test_pretrain_cli_over_cache(image_dir, tmp_path):

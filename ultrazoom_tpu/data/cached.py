@@ -118,10 +118,18 @@ class CachedImageFolder:
     Implements the ``dataset[(idx, rng)]`` protocol of ``ImageFolder`` (the
     rng is ignored — randomness was consumed at cache-build time), so it
     drops into ``BatchLoader`` unchanged.
+
+    By default images are returned as **uint8** (``dtype="uint8"``): the
+    train/eval steps normalise on device (``train.steps.as_float01``),
+    which cuts host->device batch traffic 4x with bit-identical numerics
+    (f32(u8)/255 commutes across the transfer).  Pass ``dtype="float32"``
+    for the live-``ImageFolder``-compatible float contract.
     """
 
-    def __init__(self, cache_dir):
+    def __init__(self, cache_dir, dtype: str = "uint8"):
+        assert dtype in ("uint8", "float32")
         self.root = pathlib.Path(cache_dir)
+        self.dtype = dtype
         self.meta = json.loads((self.root / _META).read_text())
         self._x = np.load(self.root / "x.npy", mmap_mode="r")
         self._y = np.load(self.root / "y.npy", mmap_mode="r")
@@ -133,8 +141,14 @@ class CachedImageFolder:
 
     def __getitem__(self, idx_and_rng) -> dict[str, np.ndarray]:
         idx = idx_and_rng[0] if isinstance(idx_and_rng, tuple) else idx_and_rng
+        if self.dtype == "uint8":
+            x = np.asarray(self._x[idx])
+            y = np.asarray(self._y[idx])
+        else:
+            x = self._x[idx].astype(np.float32) / 255.0
+            y = self._y[idx].astype(np.float32) / 255.0
         return {
-            "x": self._x[idx].astype(np.float32) / 255.0,
-            "y": self._y[idx].astype(np.float32) / 255.0,
+            "x": x,
+            "y": y,
             "y_deg": np.asarray(self._deg[idx], np.float32),
         }

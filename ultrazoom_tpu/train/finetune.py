@@ -223,8 +223,11 @@ def main(argv=None) -> None:
             ps_s = ss_s = vf_s = 0.0
             m = 0
             for batch in test_loader:
-                x = jnp.asarray(batch["x"])
-                y = jnp.asarray(batch["y"])
+                # Cached batches arrive uint8; normalise on device.
+                from ultrazoom_tpu.train.steps import as_float01
+
+                x = as_float01(jnp.asarray(batch["x"]))
+                y = as_float01(jnp.asarray(batch["y"]))
                 sr, _ = eval_fn(state.u_params, x)
                 pred_fake = np.asarray(critic_fn(state.c_params, state.sn_state, sr))
                 pred_real = np.asarray(critic_fn(state.c_params, state.sn_state, y))

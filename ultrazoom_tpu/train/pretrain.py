@@ -244,6 +244,29 @@ def main(argv=None) -> None:
         step = jax.jit(step_fn, donate_argnums=0)
         put = lambda b: jax.tree.map(jnp.asarray, b)
 
+    # Device-resident fast path: a cached dataset small enough for HBM is
+    # uploaded once and batches are gathered on device — zero per-step H2D.
+    from ultrazoom_tpu.train.device_data import (
+        DEVICE_DATA_BUDGET,
+        cache_nbytes,
+        epoch_batch_indices,
+        make_gather_step,
+        upload_cache,
+    )
+
+    device_data = None
+    if (
+        mesh is None
+        and isinstance(train_ds, CachedImageFolder)
+        and cache_nbytes(train_ds) <= DEVICE_DATA_BUDGET
+    ):
+        print(
+            f"Uploading {cache_nbytes(train_ds) / 2**30:.2f} GiB sample cache "
+            "to device (one-time)..."
+        )
+        device_data = upload_cache(train_ds)
+        gather_step = make_gather_step(step_fn)
+
     if is_ctrl:
         from ultrazoom_tpu.train.steps import make_ctrl_eval_step
 
@@ -263,11 +286,20 @@ def main(argv=None) -> None:
             jax.profiler.start_trace(args.profile_dir)
         sums: dict[str, jax.Array] = {}
         n = 0
-        for batch in train_loader:
-            state, metrics = step(state, put(batch))
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + v
-            n += 1
+        if device_data is not None:
+            for idx in epoch_batch_indices(
+                len(train_ds), args.batch_size, seed, epoch
+            ):
+                state, metrics = gather_step(state, device_data, jnp.asarray(idx))
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
+        else:
+            for batch in train_loader:
+                state, metrics = step(state, put(batch))
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
         if profiling:
             jax.tree.map(lambda x: x.block_until_ready(), sums)
             jax.profiler.stop_trace()
@@ -297,9 +329,15 @@ def main(argv=None) -> None:
                     )
                 else:
                     sr, _ = eval_fn(model_params, jnp.asarray(batch["x"]))
-                y = jnp.asarray(batch["y"])
+                # Cached batches arrive uint8; normalise on device.
+                from ultrazoom_tpu.train.steps import as_float01
+
+                y = as_float01(jnp.asarray(batch["y"]))
                 bicubic = jnp.clip(
-                    upsample2d(jnp.asarray(batch["x"]), cfg.upscale_ratio), 0, 1
+                    upsample2d(
+                        as_float01(jnp.asarray(batch["x"])), cfg.upscale_ratio
+                    ),
+                    0, 1,
                 )
                 ps_s += float(psnr(sr, y))
                 ss_s += float(ssim(sr, y))

@@ -50,6 +50,8 @@ __all__ = [
     "make_finetune_step",
     "make_eval_step",
     "make_ctrl_eval_step",
+    "as_float01",
+    "normalize_batch",
 ]
 
 
@@ -121,6 +123,28 @@ def _mse(a, b):
     return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
+def as_float01(a: jax.Array) -> jax.Array:
+    """Device-side uint8 -> f32/255 (identity on float inputs).
+
+    Batches travel host->device as uint8 (the sample caches are uint8-exact)
+    and are normalised on device: 4x less interconnect traffic than shipping
+    f32 — the difference between loader-bound and compute-bound on narrow
+    H2D links.  f32(u8)/255 here is bit-identical to dividing on the host.
+    """
+    if a.dtype == jnp.uint8:
+        return a.astype(jnp.float32) / 255.0
+    return a
+
+
+def normalize_batch(batch: dict) -> dict:
+    """Apply :func:`as_float01` to the image keys of a train batch."""
+    out = dict(batch)
+    for k in ("x", "y"):
+        if k in out:
+            out[k] = as_float01(out[k])
+    return out
+
+
 def load_pretrain_params(path, cfg: "_unet.MewZoomConfig"):
     """Restore just the model params from a pretrain checkpoint directory,
     handling both the plain and the adaptive-loss (wrapped) layouts — the
@@ -189,7 +213,7 @@ def make_pretrain_step(
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, normalize_batch(batch)
         )
         aux["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -248,7 +272,7 @@ def make_ctrl_pretrain_step(
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, normalize_batch(batch)
         )
         aux["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -267,7 +291,7 @@ def make_ctrl_eval_step(model_cfg, compute_dtype=None) -> Callable:
     def step(params, x, y_deg):
         mat = materialize(params)
         return _ctrl.upscale(
-            mat, x, y_deg, cfg=model_cfg, compute_dtype=compute_dtype
+            mat, as_float01(x), y_deg, cfg=model_cfg, compute_dtype=compute_dtype
         )
 
     return step
@@ -278,7 +302,9 @@ def make_eval_step(model_cfg, compute_dtype=None) -> Callable:
 
     def step(params, x):
         mat = materialize(params)
-        sr, qa = _unet.apply(mat, x, model_cfg, compute_dtype=compute_dtype)
+        sr, qa = _unet.apply(
+            mat, as_float01(x), model_cfg, compute_dtype=compute_dtype
+        )
         return jnp.clip(sr, 0.0, 1.0), qa
 
     return step
@@ -328,6 +354,7 @@ def make_finetune_step(
         return total, aux
 
     def step(state: GanTrainState, batch, warmup: bool):
+        batch = normalize_batch(batch)
         b = batch["x"].shape[0]
         y_real = jnp.ones((b, 1), jnp.float32)
         y_fake = jnp.zeros((b, 1), jnp.float32)
