@@ -194,6 +194,58 @@ def test_finetune_cli_end_to_end(dataset, tmp_path):
     assert "eval/critic_f1" in tags
 
 
+def test_finetune_cli_ctrl_arch(dataset, tmp_path):
+    """GAN fine-tune dispatches on the base checkpoint's architecture:
+    a --arch ctrl pretrain checkpoint fine-tunes the Ctrl generator (the
+    published-checkpoint family) with the same two-phase recipe."""
+    from ultrazoom_tpu.train.finetune import main as ft_main
+    from ultrazoom_tpu.train.pretrain import main as pt_main
+
+    base = tmp_path / "base"
+    pt_main([
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--arch", "ctrl", "--num_channels", "8", "--num_encoder_layers", "2",
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--num_epochs", "1", "--eval_interval", "10",
+        "--checkpoint_interval", "1",
+        "--checkpoint_path", str(base),
+        "--run_dir_path", str(tmp_path / "runs1"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ])
+
+    ft_main([
+        "--base_checkpoint_path", str(base),
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--target_resolution", "32",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--num_epochs", "2", "--critic_warmup_epochs", "1",
+        "--eval_interval", "2", "--checkpoint_interval", "2",
+        "--checkpoint_path", str(tmp_path / "ft"),
+        "--run_dir_path", str(tmp_path / "runs2"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ])
+    meta = json.loads((tmp_path / "ft" / "meta.json").read_text())
+    assert meta["epoch"] == 2
+    assert meta["architecture"] == "mewzoom-ctrl"
+    events = (tmp_path / "runs2" / "events.jsonl").read_text().strip().splitlines()
+    tags = {json.loads(e)["tag"] for e in events}
+    assert "finetune/critic_bce" in tags
+    assert "finetune/upscaler_bce" in tags  # ctrl phase B ran after warmup
+    assert "eval/critic_f1" in tags
+
+    # The fine-tuned checkpoint exports through the arch-dispatching loader.
+    from ultrazoom_tpu.tools.export import load_model_from_train_checkpoint
+
+    model, meta2 = load_model_from_train_checkpoint(tmp_path / "ft")
+    x = np.random.default_rng(0).uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    assert model.upscale(x).shape == (16, 16, 3)
+
+
 def test_validate_and_compare_tools(tmp_path):
     from PIL import Image
 

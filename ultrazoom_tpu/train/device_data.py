@@ -66,15 +66,17 @@ def epoch_batch_indices(
         yield order[b * batch_size : (b + 1) * batch_size].astype(np.int32)
 
 
-def make_gather_step(step_fn: Callable) -> Callable:
-    """Wrap a ``(state, batch) -> (state, metrics)`` step into a jitted
-    ``(state, data, idx) -> (state, metrics)`` that gathers the batch from
-    device-resident ``data``.  ``data`` is an explicit argument (not a
-    closure constant) so the executable never embeds or copies it; only
-    ``state`` is donated."""
+def make_gather_step(step_fn: Callable, num_extra_static: int = 0) -> Callable:
+    """Wrap a ``(state, batch, *extra) -> (state, metrics)`` step into a
+    jitted ``(state, data, idx, *extra) -> (state, metrics)`` that gathers
+    the batch from device-resident ``data``.  ``data`` is an explicit
+    argument (not a closure constant) so the executable never embeds or
+    copies it; only ``state`` is donated.  ``num_extra_static`` trailing
+    args are static (e.g. the GAN step's ``warmup`` flag)."""
 
-    def gstep(state, data, idx):
+    def gstep(state, data, idx, *extra):
         batch = jax.tree.map(lambda a: a[idx], data)
-        return step_fn(state, batch)
+        return step_fn(state, batch, *extra)
 
-    return jax.jit(gstep, donate_argnums=0)
+    static = tuple(range(3, 3 + num_extra_static))
+    return jax.jit(gstep, donate_argnums=0, static_argnums=static)

@@ -102,13 +102,24 @@ def main(argv=None) -> None:
         f"No checkpoint at {args.base_checkpoint_path} (expected a directory "
         "written by the pretrain CLI)."
     )
-    cfg = unet.MewZoomConfig.from_dict(base_meta["upscaler_args"])
+    # Arch dispatch: fine-tune whatever family the base checkpoint is —
+    # the 0.3.0 U-Net or the controllable 0.2.x architecture (the family
+    # of every published HF checkpoint; the reference fine-tunes it with
+    # the same two-phase recipe, fine-tune.py:240-330).
+    is_ctrl = base_meta.get("architecture") == "mewzoom-ctrl"
+    from ultrazoom_tpu.train.steps import (
+        load_ctrl_pretrain_params,
+        load_pretrain_params,
+    )
 
-    # Restore just the pretrained model params (handles plain and
-    # adaptive-loss checkpoint layouts).
-    from ultrazoom_tpu.train.steps import load_pretrain_params
+    if is_ctrl:
+        from ultrazoom_tpu.models import ctrl as _ctrl
 
-    u_params, _ = load_pretrain_params(args.base_checkpoint_path, cfg)
+        cfg = _ctrl.MewZoomCtrlConfig.from_dict(base_meta["upscaler_args"])
+        u_params, _ = load_ctrl_pretrain_params(args.base_checkpoint_path, cfg)
+    else:
+        cfg = unet.MewZoomConfig.from_dict(base_meta["upscaler_args"])
+        u_params, _ = load_pretrain_params(args.base_checkpoint_path, cfg)
 
     c_cfg = bouncer.PRESETS[args.critic_model_size]
     c_params = bouncer.init(jax.random.key(seed + 1), c_cfg)
@@ -137,10 +148,18 @@ def main(argv=None) -> None:
     compute_dtype = (
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
-    step_fn = make_finetune_step(
-        cfg, c_cfg, u_opt, c_opt,
-        remat=args.activation_checkpointing, compute_dtype=compute_dtype,
-    )
+    if is_ctrl:
+        from ultrazoom_tpu.train.steps import make_ctrl_finetune_step
+
+        step_fn = make_ctrl_finetune_step(
+            cfg, c_cfg, u_opt, c_opt,
+            remat=args.activation_checkpointing, compute_dtype=compute_dtype,
+        )
+    else:
+        step_fn = make_finetune_step(
+            cfg, c_cfg, u_opt, c_opt,
+            remat=args.activation_checkpointing, compute_dtype=compute_dtype,
+        )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         from ultrazoom_tpu.parallel.mesh import batch_sharded, replicated
@@ -190,7 +209,34 @@ def main(argv=None) -> None:
         shuffle=False, num_workers=args.num_dataset_processes,
     )
 
-    eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+    # Device-resident fast path (see pretrain.py / train/device_data.py).
+    from ultrazoom_tpu.train.device_data import (
+        DEVICE_DATA_BUDGET,
+        cache_nbytes,
+        epoch_batch_indices,
+        make_gather_step,
+        upload_cache,
+    )
+
+    device_data = None
+    if (
+        mesh is None
+        and isinstance(train_ds, CachedImageFolder)
+        and cache_nbytes(train_ds) <= DEVICE_DATA_BUDGET
+    ):
+        print(
+            f"Uploading {cache_nbytes(train_ds) / 2**30:.2f} GiB sample cache "
+            "to device (one-time)..."
+        )
+        device_data = upload_cache(train_ds)
+        gather_step = make_gather_step(step_fn, num_extra_static=1)
+
+    if is_ctrl:
+        from ultrazoom_tpu.train.steps import make_ctrl_eval_step
+
+        eval_fn = jax.jit(make_ctrl_eval_step(cfg, compute_dtype=compute_dtype))
+    else:
+        eval_fn = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
     def _critic_logit(cp, sn, x):
         mat, _ = spectral_materialize(cp, sn, update=False)
         return bouncer.apply(mat, x, compute_dtype=compute_dtype)[-1]
@@ -204,12 +250,23 @@ def main(argv=None) -> None:
         warmup = epoch <= args.critic_warmup_epochs
         sums: dict[str, jax.Array] = {}
         n = 0
-        for batch in train_loader:
-            # Positional: pjit with in_shardings rejects kwargs.
-            state, metrics = step(state, put(batch), warmup)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + v
-            n += 1
+        if device_data is not None:
+            for idx in epoch_batch_indices(
+                len(train_ds), args.batch_size, seed, epoch
+            ):
+                state, metrics = gather_step(
+                    state, device_data, jnp.asarray(idx), warmup
+                )
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
+        else:
+            for batch in train_loader:
+                # Positional: pjit with in_shardings rejects kwargs.
+                state, metrics = step(state, put(batch), warmup)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
         means = {k: float(v) / n for k, v in sums.items()}
         for k, v in means.items():
             logger.add_scalar(f"finetune/{k}", v, epoch)
@@ -228,7 +285,10 @@ def main(argv=None) -> None:
 
                 x = as_float01(jnp.asarray(batch["x"]))
                 y = as_float01(jnp.asarray(batch["y"]))
-                sr, _ = eval_fn(state.u_params, x)
+                if is_ctrl:
+                    sr = eval_fn(state.u_params, x, jnp.asarray(batch["y_deg"]))
+                else:
+                    sr, _ = eval_fn(state.u_params, x)
                 pred_fake = np.asarray(critic_fn(state.c_params, state.sn_state, sr))
                 pred_real = np.asarray(critic_fn(state.c_params, state.sn_state, y))
                 f1.update(
@@ -259,6 +319,7 @@ def main(argv=None) -> None:
                     "epoch": epoch,
                     "upscaler_args": cfg.to_dict(),
                     "critic_args": c_cfg.to_dict(),
+                    "architecture": "mewzoom-ctrl" if is_ctrl else "mewzoom-unet",
                     "seed": seed,
                 },
             )

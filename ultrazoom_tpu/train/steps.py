@@ -48,6 +48,7 @@ __all__ = [
     "make_pretrain_step",
     "make_ctrl_pretrain_step",
     "make_finetune_step",
+    "make_ctrl_finetune_step",
     "make_eval_step",
     "make_ctrl_eval_step",
     "as_float01",
@@ -157,6 +158,20 @@ def load_pretrain_params(path, cfg: "_unet.MewZoomConfig"):
         return restore_params_only(path, params), meta
     except AssertionError:
         wrapped = wrap_params_with_loss_combiner(params)
+        return restore_params_only(path, wrapped)["model"], meta
+
+
+def load_ctrl_pretrain_params(path, cfg):
+    """Ctrl-architecture counterpart of :func:`load_pretrain_params`."""
+    from ultrazoom_tpu.models import ctrl as _ctrl
+    from ultrazoom_tpu.utils import latest_meta, restore_params_only
+
+    meta = latest_meta(path)
+    params = _ctrl.init(jax.random.key(0), cfg)
+    try:
+        return restore_params_only(path, params), meta
+    except AssertionError:
+        wrapped = wrap_params_with_loss_combiner(params, 3)
         return restore_params_only(path, wrapped)["model"], meta
 
 
@@ -400,6 +415,115 @@ def make_finetune_step(
             gen_outputs_loss, argnums=(0, 1), has_aux=True
         )(sr, qa, c_params, new_sn, batch, y_real, y_fake)
         (u_grads,) = u_vjp((d_sr, d_qa))
+        u_updates, u_opt_state = u_optimizer.update(
+            u_grads, state.u_opt_state, state.u_params
+        )
+        u_params = optax.apply_updates(state.u_params, u_updates)
+        metrics.update(aux)
+        metrics["upscaler_grad_norm"] = optax.global_norm(u_grads)
+
+        return (
+            GanTrainState(
+                u_params, u_opt_state, c_params, c_opt_state, new_sn, state.step + 1
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_ctrl_finetune_step(
+    model_cfg,
+    critic_cfg: _bouncer.BouncerConfig,
+    u_optimizer: optax.GradientTransformation,
+    c_optimizer: optax.GradientTransformation,
+    remat: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Stage-2 GAN step for the controllable 0.1.x/0.2.x architecture —
+    the family of every published HF checkpoint, which the reference also
+    fine-tunes with this two-phase recipe (fine-tune.py:240-330).
+
+    Identical to :func:`make_finetune_step` except the generator is the
+    Ctrl model conditioned on the true degradation labels (``c = y_deg``,
+    as in pretraining) and the generator loss drops the QA term (this
+    architecture has no QA head): pixel L2 + critic-stage2/3 feature
+    matching + adversarial BCE, balanced."""
+    from ultrazoom_tpu.models import ctrl as _ctrl
+
+    def critic_forward(c_params, sn_state, x, update):
+        c_mat, new_sn = spectral_materialize(c_params, sn_state, update=update)
+        outs = _bouncer.apply(c_mat, x, remat=remat, compute_dtype=compute_dtype)
+        return outs, new_sn
+
+    def critic_loss(c_params, sn_state, sr_detached, y_real_img, y_real, y_fake):
+        fake_outs, new_sn = critic_forward(c_params, sn_state, sr_detached, True)
+        real_outs, _ = critic_forward(c_params, new_sn, y_real_img, False)
+        loss = relativistic_bce(real_outs[-1], fake_outs[-1], y_real, y_fake)
+        return loss, new_sn
+
+    def gen_outputs_loss(sr, c_params, sn_state, batch, y_real, y_fake):
+        fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
+        real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
+        pixel = _mse(sr, batch["y"])
+        s2 = _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))
+        s3 = _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))
+        u_bce = relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real)
+        losses = jnp.stack([pixel, s2, s3, u_bce])
+        total = balanced_multitask(losses)
+        aux = {
+            "pixel_l2": pixel,
+            "stage2_l2": s2,
+            "stage3_l2": s3,
+            "upscaler_bce": u_bce,
+        }
+        return total, aux
+
+    def step(state: GanTrainState, batch, warmup: bool):
+        batch = normalize_batch(batch)
+        b = batch["x"].shape[0]
+        y_real = jnp.ones((b, 1), jnp.float32)
+        y_fake = jnp.zeros((b, 1), jnp.float32)
+
+        def u_forward(u_params):
+            mat = materialize(u_params)
+            return _ctrl.apply(
+                mat, batch["x"], batch["y_deg"], cfg=model_cfg,
+                remat=remat, compute_dtype=compute_dtype,
+            )
+
+        sr, u_vjp = jax.vjp(u_forward, state.u_params)
+        sr_d = jax.lax.stop_gradient(sr)
+
+        (c_loss, new_sn), c_grads = jax.value_and_grad(critic_loss, has_aux=True)(
+            state.c_params, state.sn_state, sr_d, batch["y"], y_real, y_fake
+        )
+        c_updates, c_opt_state = c_optimizer.update(
+            c_grads, state.c_opt_state, state.c_params
+        )
+        c_params = optax.apply_updates(state.c_params, c_updates)
+        metrics = {
+            "critic_bce": c_loss,
+            "critic_grad_norm": optax.global_norm(c_grads),
+        }
+
+        if warmup:
+            return (
+                GanTrainState(
+                    state.u_params,
+                    state.u_opt_state,
+                    c_params,
+                    c_opt_state,
+                    new_sn,
+                    state.step + 1,
+                ),
+                metrics,
+            )
+
+        (_, aux), d_sr = jax.value_and_grad(
+            gen_outputs_loss, argnums=0, has_aux=True
+        )(sr, c_params, new_sn, batch, y_real, y_fake)
+        (u_grads,) = u_vjp(d_sr)
         u_updates, u_opt_state = u_optimizer.update(
             u_grads, state.u_opt_state, state.u_params
         )
