@@ -173,6 +173,48 @@ def bench_loader(
     return n / dt, n * target * target / 1e6 / dt
 
 
+def bench_cached_loader(
+    n_images=32, image_size=512, target=256, ratio=2, batch=32, workers=8,
+    epochs=4, variants=4,
+):
+    """Offline-cache loader throughput (uint8 memmaps, data/cached.py) —
+    the fix for hosts where the live chain above cannot feed the chip."""
+    import tempfile
+
+    from PIL import Image
+
+    from ultrazoom_tpu.data import (
+        CachedImageFolder,
+        build_sample_cache,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        rng = np.random.default_rng(0)
+        for i in range(n_images):
+            base = rng.uniform(0, 1, (image_size // 8, image_size // 8, 3))
+            img = np.kron(base, np.ones((8, 8, 1)))
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            ).save(f"{root}/{i}.png")
+        live = ImageFolder(
+            root, target, ratio, DegradationConfig(), AugmentConfig(target)
+        )
+        build_sample_cache(
+            live, f"{root}/cache", num_variants=variants, num_workers=workers
+        )
+        ds = CachedImageFolder(f"{root}/cache")
+        loader = BatchLoader(ds, batch, seed=0, num_workers=workers)
+        for _ in loader:
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(epochs):
+            for b in loader:
+                n += b["x"].shape[0]
+        dt = time.perf_counter() - t0
+    return n / dt, n * target * target / 1e6 / dt
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--skip_loader", action="store_true")
@@ -221,6 +263,21 @@ def main(argv=None) -> None:
             json.dumps(
                 {
                     "metric": "loader PNG512 degradation chain, 8 threads",
+                    "value": round(mp_s, 3),
+                    "unit": "HR MP/s",
+                    "images_per_s": round(imgs_s, 2),
+                }
+            )
+        )
+        imgs_s, mp_s = bench_cached_loader()
+        print(
+            f"loader (offline uint8 sample cache, 8 threads): "
+            f"{imgs_s:.1f} images/s = {mp_s:.2f} HR MP/s"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "loader offline uint8 sample cache, 8 threads",
                     "value": round(mp_s, 3),
                     "unit": "HR MP/s",
                     "images_per_s": round(imgs_s, 2),
