@@ -184,7 +184,11 @@ def bench_cached_loader(
     from PIL import Image
 
     from ultrazoom_tpu.data import (
+        AugmentConfig,
+        BatchLoader,
         CachedImageFolder,
+        DegradationConfig,
+        ImageFolder,
         build_sample_cache,
     )
 
