@@ -194,6 +194,39 @@ def test_finetune_cli_end_to_end(dataset, tmp_path):
     assert "eval/critic_f1" in tags
 
 
+def test_pretrain_pixel_mode_and_init_from(dataset, tmp_path):
+    """--loss_combiner pixel (no VGG towers) and --init_params_from
+    (polish continuation from an earlier checkpoint)."""
+    from ultrazoom_tpu.train.pretrain import main
+
+    common = [
+        "--train_images_path", str(dataset / "train"),
+        "--test_images_path", str(dataset / "test"),
+        "--arch", "ctrl", "--num_channels", "8", "--num_encoder_layers", "2",
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--num_epochs", "1", "--eval_interval", "10",
+        "--checkpoint_interval", "1",
+        "--run_dir_path", str(tmp_path / "runs"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ]
+    base = tmp_path / "base"
+    main(common + ["--checkpoint_path", str(base)])
+
+    polish = tmp_path / "polish"
+    main(common + [
+        "--checkpoint_path", str(polish),
+        "--loss_combiner", "pixel",
+        "--init_params_from", str(base),
+    ])
+    meta = json.loads((polish / "meta.json").read_text())
+    assert meta["epoch"] == 1 and meta["loss_combiner"] == "pixel"
+    events = (tmp_path / "runs" / "events.jsonl").read_text().strip().splitlines()
+    tags = {json.loads(e)["tag"] for e in events}
+    assert "train/pixel_l2" in tags
+
+
 def test_finetune_cli_ctrl_arch(dataset, tmp_path):
     """GAN fine-tune dispatches on the base checkpoint's architecture:
     a --arch ctrl pretrain checkpoint fine-tunes the Ctrl generator (the

@@ -76,7 +76,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--upscaler_learning_rate", type=float, default=3e-4)
     p.add_argument("--adaptive_loss_learning_rate", type=float, default=1e-3)
     p.add_argument(
-        "--loss_combiner", default="balanced", choices=("balanced", "adaptive")
+        "--loss_combiner", default="balanced",
+        choices=("balanced", "adaptive", "pixel"),
+        help="balanced/adaptive follow the reference's multitask recipes; "
+        "pixel drops the VGG terms (the distortion-oriented recipe when "
+        "pretrained VGG19 weights are unavailable)",
+    )
+    p.add_argument(
+        "--init_params_from", default=None,
+        help="initialise model params from this checkpoint directory "
+        "(same architecture) instead of random init — e.g. polish a "
+        "perceptually-pretrained model with --loss_combiner pixel",
     )
     p.add_argument("--max_gradient_norm", type=float, default=2.0)
     p.add_argument("--num_primary_channels", type=int, default=48)
@@ -193,7 +203,23 @@ def main(argv=None) -> None:
         params = _ctrl.init(jax.random.key(seed), cfg)
     else:
         params = unet.init(jax.random.key(seed), cfg)
-    vgg = init_vgg19_features(args.vgg_weights_path, seed=0)
+    if args.init_params_from:
+        from ultrazoom_tpu.train.steps import (
+            load_ctrl_pretrain_params,
+            load_pretrain_params,
+        )
+
+        loader = load_ctrl_pretrain_params if is_ctrl else load_pretrain_params
+        params, src_meta = loader(args.init_params_from, cfg)
+        print(
+            f"Initialised params from {args.init_params_from} "
+            f"(epoch {src_meta.get('epoch', '?')})."
+        )
+    vgg = (
+        None
+        if args.loss_combiner == "pixel"
+        else init_vgg19_features(args.vgg_weights_path, seed=0)
+    )
     if args.loss_combiner == "adaptive":
         from ultrazoom_tpu.train.steps import (
             make_adaptive_optimizer,

@@ -193,9 +193,14 @@ def make_pretrain_step(
     """Stage-1 step: pixel MSE + vgg22 + vgg54 + deg MSE combined by
     BalancedMultitask (reference pretrain.py:245-267) or AdaptiveMultitask
     (learnable uncertainty weights; wrap params with
-    :func:`wrap_params_with_loss_combiner` first)."""
-    assert loss_combiner in ("balanced", "adaptive")
+    :func:`wrap_params_with_loss_combiner` first).
+
+    ``loss_combiner="pixel"`` drops the VGG towers (pixel + deg, balanced)
+    — the distortion-oriented recipe for environments without pretrained
+    VGG19 weights (see make_ctrl_pretrain_step docstring)."""
+    assert loss_combiner in ("balanced", "adaptive", "pixel")
     adaptive = loss_combiner == "adaptive"
+    pixel_only = loss_combiner == "pixel"
 
     def loss_fn(params, batch):
         model_params = params["model"] if adaptive else params
@@ -204,6 +209,12 @@ def make_pretrain_step(
             mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
         )
         pixel = _mse(sr, batch["y"])
+        deg = _mse(qa, batch["y_deg"])
+        if pixel_only:
+            total = balanced_multitask(jnp.stack([pixel, deg]))
+            return total, {
+                "loss": total, "pixel_l2": pixel, "degradation_l2": deg,
+            }
         # VGG towers at the compute dtype — the reference autocasts the
         # compiled VGG loss to bf16 (pretrain.py:117-123,200); f32 towers
         # also blow HBM at batch 32 x 256^2 (the final MSEs stay f32).
@@ -211,7 +222,6 @@ def make_pretrain_step(
         l22, l54 = vgg_loss(
             vgg_convs, sr.astype(ld), batch["y"].astype(ld)
         )
-        deg = _mse(qa, batch["y_deg"])
         losses = jnp.stack([pixel, l22, l54, deg])
         if adaptive:
             total = adaptive_multitask(params["loss_combiner"], losses)
@@ -257,11 +267,20 @@ def make_ctrl_pretrain_step(
     vgg22 + vgg54, balanced (this architecture has no QA head; the
     reference's 0.2.x ``--num_channels/--num_encoder_layers`` flags,
     README.md:254-257, are restored by the pretrain CLI's ``--arch ctrl``).
+
+    ``loss_combiner="pixel"`` trains on pixel MSE alone (no VGG towers in
+    the graph).  This mode exists because the reference's perceptual terms
+    assume *pretrained* VGG19 features (loss.py:19-24); in environments
+    where those weights are unavailable the documented fallback is seeded
+    random features, and distances in a random feature space should not
+    outvote the pixel term 2:1 — pixel mode is the honest distortion-
+    (PSNR-) oriented recipe there, and is also ~2x faster per step.
     """
     from ultrazoom_tpu.models import ctrl as _ctrl
 
-    assert loss_combiner in ("balanced", "adaptive")
+    assert loss_combiner in ("balanced", "adaptive", "pixel")
     adaptive = loss_combiner == "adaptive"
+    pixel_only = loss_combiner == "pixel"
 
     def loss_fn(params, batch):
         model_params = params["model"] if adaptive else params
@@ -271,6 +290,8 @@ def make_ctrl_pretrain_step(
             compute_dtype=compute_dtype, remat=remat,
         )
         pixel = _mse(sr, batch["y"])
+        if pixel_only:
+            return pixel, {"loss": pixel, "pixel_l2": pixel}
         # bf16 VGG towers under mixed precision (see make_pretrain_step).
         ld = compute_dtype or sr.dtype
         l22, l54 = vgg_loss(
