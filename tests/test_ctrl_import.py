@@ -222,3 +222,26 @@ def test_import_roundtrip_from_our_own_export():
     a = ctrl.apply(params, x, c, cfg=cfg)
     b = ctrl.apply(params2, x, c, cfg=cfg2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_import_alphabetical_key_order_deep_body():
+    """Safetensors files return keys ALPHABETICALLY ('body.10' < 'body.2'),
+    which scrambles layer order for bodies deeper than 10 layers unless the
+    importer natural-sorts.  Regression for a bug found on a real trained
+    12-layer artifact (the synthetic tests used <10 layers and never hit
+    it): import from an alphabetically-ordered dict must equal the
+    insertion-ordered import."""
+    import jax
+
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=12)
+    params = ctrl.init(jax.random.key(3), cfg)
+    flat = ctrl.params_to_torch_flat(params, cfg)
+    scrambled = dict(sorted(flat.items()))  # alphabetical, like safetensors
+    assert list(scrambled) != list(flat)  # the orders genuinely differ
+    params2, cfg2 = import_ctrl_state_dict(scrambled)
+    assert cfg2 == cfg
+    x = jnp.linspace(0, 1, 1 * 8 * 8 * 3, dtype=jnp.float32).reshape(1, 8, 8, 3)
+    c = jnp.asarray([[0.9, 0.1, 0.5]], jnp.float32)
+    a = ctrl.apply(params, x, c, cfg=cfg)
+    b = ctrl.apply(params2, x, c, cfg=cfg2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

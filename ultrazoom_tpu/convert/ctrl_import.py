@@ -32,6 +32,7 @@ the entry point:
 from __future__ import annotations
 
 import math
+import re
 
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +47,19 @@ def _hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
 
+def _natural_key(key: str):
+    """Digit-aware sort key: ``body.10`` sorts after ``body.2``.
+
+    Layer ORDER is the one thing shapes cannot tell apart (every body layer
+    is shape-identical), so it must come from the keys.  torch state dicts
+    iterate in registration order, but safetensors files return keys
+    ALPHABETICALLY — which scrambles ``body.0, body.1, body.10, ..., body.2``
+    for any model deeper than 10 layers.  Natural sorting recovers the true
+    index order for both sources (and is a stable no-op for torch-ordered
+    dicts with consistent naming)."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", key)]
+
+
 def import_ctrl_state_dict(
     state_dict, *, lora_alpha: float | None = None
 ) -> tuple[dict, MewZoomCtrlConfig]:
@@ -54,8 +68,9 @@ def import_ctrl_state_dict(
     ``lora_alpha``: scale for ChannelLoRA deltas if the checkpoint carries
     adapters (torch stores alpha out-of-band in ``ckpt["lora_args"]``).
     """
-    items = list(
-        fold_parametrizations_flat(state_dict, lora_alpha=lora_alpha).items()
+    items = sorted(
+        fold_parametrizations_flat(state_dict, lora_alpha=lora_alpha).items(),
+        key=lambda kv: _natural_key(kv[0]),
     )
 
     stem_w = stem_b = tail_w = None
