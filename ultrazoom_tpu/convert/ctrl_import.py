@@ -56,7 +56,15 @@ def _natural_key(key: str):
     ALPHABETICALLY — which scrambles ``body.0, body.1, body.10, ..., body.2``
     for any model deeper than 10 layers.  Natural sorting recovers the true
     index order for both sources (and is a stable no-op for torch-ordered
-    dicts with consistent naming)."""
+    dicts with consistent naming).
+
+    Applied only when every body-candidate key embeds a digit (see
+    ``import_ctrl_state_dict``): a registration-ordered dict whose layer
+    keys carry no numeric index is already in the only recoverable order —
+    sorting it would scramble the insertion order for nothing.  (A
+    safetensors file with index-free keys is unrecoverable by any rule:
+    alphabetical order destroyed the registration order and the keys carry
+    no substitute.)"""
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", key)]
 
 
@@ -68,10 +76,21 @@ def import_ctrl_state_dict(
     ``lora_alpha``: scale for ChannelLoRA deltas if the checkpoint carries
     adapters (torch stores alpha out-of-band in ``ckpt["lora_args"]``).
     """
-    items = sorted(
-        fold_parametrizations_flat(state_dict, lora_alpha=lora_alpha).items(),
-        key=lambda kv: _natural_key(kv[0]),
-    )
+    flat = fold_parametrizations_flat(state_dict, lora_alpha=lora_alpha)
+    # Layer order only matters where shapes are ambiguous: groups of MORE
+    # THAN ONE shape-identical 3x3 conv (the body layers; the shape-unique
+    # tail conv needs no ordering).  Natural-sort only if every key in such
+    # a group carries an embedded index, otherwise trust insertion order
+    # (see _natural_key docstring).
+    groups: dict[tuple, list[str]] = {}
+    for k, v in flat.items():
+        if getattr(v, "ndim", 0) == 4 and v.shape[2] == v.shape[3] == 3:
+            groups.setdefault(tuple(v.shape), []).append(k)
+    ambiguous = [k for ks in groups.values() if len(ks) > 1 for k in ks]
+    if ambiguous and all(re.search(r"\d", k) for k in ambiguous):
+        items = sorted(flat.items(), key=lambda kv: _natural_key(kv[0]))
+    else:
+        items = list(flat.items())
 
     stem_w = stem_b = tail_w = None
     body_convs: list[np.ndarray] = []

@@ -1,6 +1,7 @@
 from ultrazoom_tpu.data.augment import AugmentConfig, augment
 from ultrazoom_tpu.data.cached import (
     CachedImageFolder,
+    assert_cache_matches,
     build_sample_cache,
     is_sample_cache,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "degrade",
     "BatchLoader",
     "CachedImageFolder",
+    "assert_cache_matches",
     "build_sample_cache",
     "is_sample_cache",
 ]

@@ -108,8 +108,69 @@ def build_sample_cache(
         "hr_shape": [th, tw, 3],
         "n_samples": n_total,
     }
+    # Record the generating data config so trainers can verify a detected
+    # cache actually matches their CLI flags (a cache built with different
+    # degradation ranges would silently yield y_deg labels normalised to
+    # the wrong scale; different resolutions fail late with an opaque
+    # shape error inside the jitted step).
+    if hasattr(dataset, "deg_cfg"):
+        import dataclasses
+
+        meta["target_resolution"] = int(dataset.target)
+        meta["upscale_ratio"] = int(dataset.ratio)
+        meta["degradation"] = dataclasses.asdict(dataset.deg_cfg)
+        meta["augmentation"] = dataclasses.asdict(dataset.aug_cfg)
     (out / _META).write_text(json.dumps(meta, indent=1))
     return meta
+
+
+def assert_cache_matches(
+    meta: dict,
+    target_resolution: int,
+    upscale_ratio: int,
+    deg_cfg=None,
+    aug_cfg=None,
+) -> None:
+    """Fail fast if a detected sample cache was built with a different data
+    config than the trainer's CLI flags.  Caches from before the config was
+    recorded (no ``upscale_ratio`` key) are skipped with a warning."""
+    import dataclasses
+    import warnings
+
+    if "upscale_ratio" not in meta:
+        warnings.warn(
+            "sample cache has no recorded data config (built by an older "
+            "cache_dataset); cannot verify it matches the trainer flags",
+            stacklevel=2,
+        )
+        return
+    problems = []
+    if meta["target_resolution"] != target_resolution:
+        problems.append(
+            f"target_resolution: cache {meta['target_resolution']} vs "
+            f"flags {target_resolution}"
+        )
+    if meta["upscale_ratio"] != upscale_ratio:
+        problems.append(
+            f"upscale_ratio: cache {meta['upscale_ratio']} vs flags {upscale_ratio}"
+        )
+    for name, cfg in (("degradation", deg_cfg), ("augmentation", aug_cfg)):
+        if cfg is None or name not in meta:
+            continue
+        want = dataclasses.asdict(cfg)
+        if meta[name] != want:
+            diffs = {
+                k: (meta[name].get(k), want[k])
+                for k in want
+                if meta[name].get(k) != want[k]
+            }
+            problems.append(f"{name} (cache vs flags): {diffs}")
+    if problems:
+        raise ValueError(
+            "Sample cache was built with a different data config than the "
+            "trainer flags — rebuild it with tools/cache_dataset.py or fix "
+            "the flags:\n  " + "\n  ".join(problems)
+        )
 
 
 class CachedImageFolder:

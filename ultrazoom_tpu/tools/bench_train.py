@@ -12,9 +12,13 @@ accumulation); scenarios use the reference training defaults
      (64^2 LR in), trained via the --arch ctrl path.
 
 Timing uses chained dispatch + a one-scalar readback (bench.py rationale:
-block_until_ready is unreliable through the tunneled backend).  MFU is
-estimated from XLA's own cost model (``compiled.cost_analysis()['flops']``)
-against the chip's bf16 peak.
+block_until_ready is unreliable through the tunneled backend).  MFU for the
+U-Net is estimated from XLA's own cost model
+(``compiled.cost_analysis()['flops']``) against the chip's bf16 peak; for
+the Ctrl family the cost model is USELESS — it counts a ``lax.scan`` body
+ONCE, not trip-count times, under-reporting the 40-layer 4X body ~30x (this
+is what produced the bogus "15.9% MFU" number in round 2) — so Ctrl flops
+are computed analytically from the conv shapes (``ctrl_fwd_flops``).
 
 The loader benchmark decodes real PNGs (synthesized once into a temp dir)
 through the full degradation chain -- blur, noise, resize, real JPEG
@@ -94,7 +98,21 @@ def bench_unet_train(batch=32, target=256, ratio=2, accum=4, iters=12):
     return dt, batch * target * target / 1e6, flops, n_params
 
 
-def bench_ctrl_train(batch=32, target=256, ratio=4, accum=4, iters=12):
+def ctrl_fwd_flops(cfg, batch: int, lh: int, lw: int) -> float:
+    """Analytic forward flops of the Ctrl model (scan body + stem + tail).
+    XLA's cost model counts the scan body once instead of num_layers times,
+    so it cannot be used for this family."""
+    c, h = cfg.num_channels, cfg.num_channels * cfg.hidden_ratio
+    f = cfg.num_layers * 2 * (2 * 9 * c * h * lh * lw * batch)  # body convs
+    f += 2 * 3 * c * lh * lw * batch  # stem 1x1
+    f += 2 * 9 * c * 3 * cfg.upscale_ratio**2 * lh * lw * batch  # tail
+    return float(f)
+
+
+def bench_ctrl_train(
+    batch=32, target=256, ratio=4, accum=4, iters=12, remat="hidden",
+    loss_combiner="balanced",
+):
     from ultrazoom_tpu.losses import init_vgg19_features
     from ultrazoom_tpu.models import ctrl
     from ultrazoom_tpu.train import (
@@ -105,16 +123,20 @@ def bench_ctrl_train(batch=32, target=256, ratio=4, accum=4, iters=12):
 
     cfg = ctrl.PRESETS[f"{ratio}x"]
     params = ctrl.init(jax.random.key(0), cfg)
-    vgg = init_vgg19_features(seed=0)
+    vgg = None if loss_combiner == "pixel" else init_vgg19_features(seed=0)
     opt = make_optimizer(3e-4, 2.0, accumulation_steps=accum)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
     step_fn = make_ctrl_pretrain_step(
-        cfg, opt, vgg, compute_dtype=jnp.bfloat16, remat=True
+        cfg, opt, vgg, compute_dtype=jnp.bfloat16, remat=remat,
+        loss_combiner=loss_combiner,
     )
     step = jax.jit(step_fn, donate_argnums=0)
     batch_d = _synth_batch(np.random.default_rng(0), batch, target, ratio)
-    flops = _step_flops(step_fn, state, batch_d)
+    # fwd + bwd(2x) + full-remat recompute (selective "hidden" recomputes
+    # only pointwise ops — no conv recompute, so multiplier 3).
+    mult = 4.0 if remat is True else 3.0
+    flops = ctrl_fwd_flops(cfg, batch, target // ratio, target // ratio) * mult
     dt, _ = _time_steps(step, state, batch_d, iters)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     return dt, batch * target * target / 1e6, flops, n_params
@@ -232,7 +254,9 @@ def main(argv=None) -> None:
     dt, mp, flops, n = bench_unet_train(iters=args.iters)
     rows.append(("pretrain 0.3.0 U-Net 2X 56M, 256^2 b32 accum4 bf16 remat", dt, mp, flops, n))
     dt, mp, flops, n = bench_ctrl_train(iters=args.iters)
-    rows.append(("pretrain Ctrl 4X 14M, 256^2 b32 accum4 bf16 remat", dt, mp, flops, n))
+    rows.append(("pretrain Ctrl 4X 14M, 256^2 b32 accum4 bf16 remat=hidden", dt, mp, flops, n))
+    dt, mp, flops, n = bench_ctrl_train(iters=args.iters, loss_combiner="pixel")
+    rows.append(("pretrain Ctrl 4X 14M pixel-only, 256^2 b32 accum4 bf16 remat=hidden", dt, mp, flops, n))
 
     print(f"\nDevice: {dev} (assumed bf16 peak {peak / 1e12:.0f} TFLOP/s)")
     print(f"{'scenario':<52} {'ms/step':>9} {'steps/s':>8} {'HR MP/s':>8} {'~MFU':>6}")

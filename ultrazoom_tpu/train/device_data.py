@@ -58,7 +58,13 @@ def epoch_batch_indices(
     shuffle: bool = True,
 ) -> Iterator[np.ndarray]:
     """Fixed-shape batch index vectors for one epoch (drop-last), using
-    BatchLoader's epoch permutation derivation."""
+    BatchLoader's epoch permutation derivation.
+
+    ``epoch`` is 0-based, matching ``BatchLoader``'s internal counter (its
+    first iteration shuffles with ``SeedSequence([seed, 0])``) — trainers
+    whose display epoch starts at 1 must pass ``epoch - 1`` for a
+    device-resident run to visit samples in the same order as a loader run
+    with the same seed."""
     order = np.arange(n_samples)
     if shuffle:
         np.random.default_rng(np.random.SeedSequence([seed, epoch])).shuffle(order)

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--critic_model_size", default="small", choices=("small", "medium", "large")
     )
     p.add_argument("--activation_checkpointing", action="store_true")
+    p.add_argument(
+        "--remat_policy", default="auto", choices=("auto", "full", "hidden"),
+        help="what --activation_checkpointing saves (see train.pretrain; "
+        "'hidden' applies to the Ctrl generator scan body only)",
+    )
     p.add_argument("--eval_interval", type=int, default=2)
     p.add_argument("--checkpoint_interval", type=int, default=2)
     p.add_argument("--checkpoint_path", default="./checkpoints/finetune")
@@ -87,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--debug_nans", action="store_true",
         help="enable jax_debug_nans (fail fast on NaN; disables some fusion)",
+    )
+    p.add_argument(
+        "--no_nan_guard", dest="nan_guard", action="store_false", default=True,
+        help="disable the checkpoint-and-rewind NaN guard (see train.pretrain)",
+    )
+    p.add_argument("--max_nan_rewinds", type=int, default=3)
+    p.add_argument(
+        "--inject_nan_epoch", type=int, default=None,
+        help="fault injection for guard testing: NaN-poison the generator "
+        "params once at the start of this epoch",
     )
     return p
 
@@ -148,17 +163,23 @@ def main(argv=None) -> None:
     compute_dtype = (
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
+    remat: bool | str = False
+    if args.activation_checkpointing:
+        if is_ctrl and args.remat_policy in ("auto", "hidden"):
+            remat = "hidden"
+        else:
+            remat = True
     if is_ctrl:
         from ultrazoom_tpu.train.steps import make_ctrl_finetune_step
 
         step_fn = make_ctrl_finetune_step(
             cfg, c_cfg, u_opt, c_opt,
-            remat=args.activation_checkpointing, compute_dtype=compute_dtype,
+            remat=remat, compute_dtype=compute_dtype,
         )
     else:
         step_fn = make_finetune_step(
             cfg, c_cfg, u_opt, c_opt,
-            remat=args.activation_checkpointing, compute_dtype=compute_dtype,
+            remat=remat, compute_dtype=compute_dtype,
         )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
@@ -184,10 +205,17 @@ def main(argv=None) -> None:
         args.target_resolution, args.brightness_jitter, args.contrast_jitter,
         args.saturation_jitter, args.hue_jitter,
     )
-    from ultrazoom_tpu.data import CachedImageFolder, is_sample_cache
+    from ultrazoom_tpu.data import (
+        CachedImageFolder,
+        assert_cache_matches,
+        is_sample_cache,
+    )
 
     if is_sample_cache(args.train_images_path):
         train_ds = CachedImageFolder(args.train_images_path)
+        assert_cache_matches(
+            train_ds.meta, args.target_resolution, cfg.upscale_ratio, deg, aug
+        )
         print(f"Using sample cache for training data: {args.train_images_path}")
     else:
         train_ds = ImageFolder(
@@ -196,6 +224,9 @@ def main(argv=None) -> None:
         )
     if is_sample_cache(args.test_images_path):
         test_ds = CachedImageFolder(args.test_images_path)
+        assert_cache_matches(
+            test_ds.meta, args.target_resolution, cfg.upscale_ratio, deg
+        )
     else:
         test_ds = ImageFolder(
             args.test_images_path, args.target_resolution, cfg.upscale_ratio, deg,
@@ -246,13 +277,38 @@ def main(argv=None) -> None:
     f1 = RelativisticF1()
     checkpointer = AsyncCheckpointer()
 
-    for epoch in range(start_epoch, args.num_epochs + 1):
+    # NaN checkpoint-and-rewind guard (train/guard.py); epoch-0 checkpoint
+    # guarantees a rewind target.
+    from ultrazoom_tpu.train.guard import NanRewindGuard, poison_params, replay_epochs
+
+    base_meta = {
+        "upscaler_args": cfg.to_dict(),
+        "critic_args": c_cfg.to_dict(),
+        "architecture": "mewzoom-ctrl" if is_ctrl else "mewzoom-unet",
+        "seed": seed,
+    }
+    guard = None
+    if args.nan_guard:
+        guard = NanRewindGuard(args.checkpoint_path, args.max_nan_rewinds)
+        if latest_meta(args.checkpoint_path) is None:
+            checkpointer.save(args.checkpoint_path, state, {"epoch": 0, **base_meta})
+    injected = False
+
+    epoch = start_epoch
+    while epoch <= args.num_epochs:
         warmup = epoch <= args.critic_warmup_epochs
+        if args.inject_nan_epoch == epoch and not injected:
+            state = poison_params(state)
+            injected = True
+            print(f"[fault-injection] generator params NaN-poisoned at epoch {epoch}")
+        data_seed = seed + (guard.seed_offset() if guard else 0)
         sums: dict[str, jax.Array] = {}
         n = 0
         if device_data is not None:
+            # epoch - 1: epoch_batch_indices is 0-based like BatchLoader's
+            # internal counter, so both paths shuffle identically.
             for idx in epoch_batch_indices(
-                len(train_ds), args.batch_size, seed, epoch
+                len(train_ds), args.batch_size, data_seed, epoch - 1
             ):
                 state, metrics = gather_step(
                     state, device_data, jnp.asarray(idx), warmup
@@ -268,6 +324,39 @@ def main(argv=None) -> None:
                     sums[k] = sums.get(k, 0.0) + v
                 n += 1
         means = {k: float(v) / n for k, v in sums.items()}
+
+        if guard is not None and guard.tripped(means):
+            print(f"Epoch {epoch}: NON-FINITE metrics {means} — NaN guard engaged.")
+            checkpointer.wait()
+            diagnosis = None
+            if device_data is not None:
+                from ultrazoom_tpu.utils import restore_state as _restore
+
+                ck_state, ck_meta = _restore(args.checkpoint_path, state)
+                print(
+                    f"Replaying epochs {ck_meta['epoch'] + 1}..{epoch} from "
+                    "the last checkpoint to test reproducibility..."
+                )
+                diagnosis = replay_epochs(
+                    # warmup must match what each replayed epoch used.
+                    lambda s, idx, e: gather_step(
+                        s, device_data, jnp.asarray(idx),
+                        e <= args.critic_warmup_epochs,
+                    ),
+                    lambda e: epoch_batch_indices(
+                        len(train_ds), args.batch_size, data_seed, e - 1
+                    ),
+                    ck_state,
+                    int(ck_meta["epoch"]) + 1,
+                    epoch,
+                    loss_key="critic_bce",
+                )
+                print(f"Replay diagnosis: {diagnosis}")
+            guard.record(epoch, means, diagnosis)
+            state, epoch = guard.rewind(checkpointer, state)
+            print(f"Rewound to epoch {epoch} (rewind #{guard.rewinds}).")
+            continue
+
         for k, v in means.items():
             logger.add_scalar(f"finetune/{k}", v, epoch)
         print(
@@ -312,18 +401,9 @@ def main(argv=None) -> None:
                 )
 
         if epoch % args.checkpoint_interval == 0:
-            checkpointer.save(
-                args.checkpoint_path,
-                state,
-                {
-                    "epoch": epoch,
-                    "upscaler_args": cfg.to_dict(),
-                    "critic_args": c_cfg.to_dict(),
-                    "architecture": "mewzoom-ctrl" if is_ctrl else "mewzoom-unet",
-                    "seed": seed,
-                },
-            )
+            checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
             print(f"Checkpoint save started at epoch {epoch} (async).")
+        epoch += 1
 
     checkpointer.wait()
     logger.close()

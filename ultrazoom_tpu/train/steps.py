@@ -346,20 +346,40 @@ def make_eval_step(model_cfg, compute_dtype=None) -> Callable:
     return step
 
 
-def make_finetune_step(
-    model_cfg: _unet.MewZoomConfig,
-    critic_cfg: _bouncer.BouncerConfig,
+def _make_gan_step(
+    generator_forward: Callable,
+    sr_of: Callable,
+    extra_gen_terms: Callable,
     u_optimizer: optax.GradientTransformation,
     c_optimizer: optax.GradientTransformation,
     remat: bool = False,
     compute_dtype=None,
 ) -> Callable:
-    """Stage-2 GAN step.  ``warmup`` is a static argument: during critic
-    warm-up epochs only phase A runs (fine-tune.py:247, 288)."""
+    """Shared two-phase RaGAN step scaffolding (fine-tune.py:240-330).
+
+    Both model families run the identical recipe — phase A critic update on
+    detached SR, phase B generator update through the just-updated critic
+    with pixel + critic-stage2/3 feature-matching + adversarial BCE — so
+    there is exactly ONE copy of it, parameterized by:
+
+    * ``generator_forward(u_params, batch) -> outputs`` — the generator
+      apply; ``outputs`` may be any pytree (e.g. ``(sr, qa)`` or ``sr``).
+    * ``sr_of(outputs) -> sr`` — projects the SR image out of ``outputs``.
+    * ``extra_gen_terms(outputs, batch) -> [(name, loss), ...]`` — extra
+      generator loss terms (the U-Net's QA/degradation term; empty for
+      Ctrl), inserted before the adversarial BCE.
+
+    ``warmup`` is a static argument: during critic warm-up epochs only
+    phase A runs (fine-tune.py:247, 288).
+    """
+
+    critic_remat = bool(remat)  # selective policies are generator-side only
 
     def critic_forward(c_params, sn_state, x, update):
         c_mat, new_sn = spectral_materialize(c_params, sn_state, update=update)
-        outs = _bouncer.apply(c_mat, x, remat=remat, compute_dtype=compute_dtype)
+        outs = _bouncer.apply(
+            c_mat, x, remat=critic_remat, compute_dtype=compute_dtype
+        )
         return outs, new_sn
 
     def critic_loss(c_params, sn_state, sr_detached, y_real_img, y_real, y_fake):
@@ -368,26 +388,26 @@ def make_finetune_step(
         loss = relativistic_bce(real_outs[-1], fake_outs[-1], y_real, y_fake)
         return loss, new_sn
 
-    def gen_outputs_loss(sr, qa, c_params, sn_state, batch, y_real, y_fake):
+    def gen_outputs_loss(outputs, c_params, sn_state, batch, y_real, y_fake):
+        sr = sr_of(outputs)
         fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
         real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
-        pixel = _mse(sr, batch["y"])
-        deg = _mse(qa, batch["y_deg"])
-        s2 = _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))
-        s3 = _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))
+        terms = [
+            ("pixel_l2", _mse(sr, batch["y"])),
+            ("stage2_l2", _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))),
+            ("stage3_l2", _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))),
+        ]
+        terms += list(extra_gen_terms(outputs, batch))
         # Swapped labels: generator wants fakes classified real
         # (fine-tune.py:300).
-        u_bce = relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real)
-        losses = jnp.stack([pixel, s2, s3, deg, u_bce])
-        total = balanced_multitask(losses)
-        aux = {
-            "pixel_l2": pixel,
-            "stage2_l2": s2,
-            "stage3_l2": s3,
-            "degradation_l2": deg,
-            "upscaler_bce": u_bce,
-        }
-        return total, aux
+        terms.append(
+            (
+                "upscaler_bce",
+                relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real),
+            )
+        )
+        total = balanced_multitask(jnp.stack([v for _, v in terms]))
+        return total, dict(terms)
 
     def step(state: GanTrainState, batch, warmup: bool):
         batch = normalize_batch(batch)
@@ -395,15 +415,12 @@ def make_finetune_step(
         y_real = jnp.ones((b, 1), jnp.float32)
         y_fake = jnp.zeros((b, 1), jnp.float32)
 
-        # Shared generator forward with pullback for phase B.
-        def u_forward(u_params):
-            mat = materialize(u_params)
-            return _unet.apply(
-                mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
-            )
-
-        (sr, qa), u_vjp = jax.vjp(u_forward, state.u_params)
-        sr_d = jax.lax.stop_gradient(sr)
+        # Shared generator forward with pullback for phase B (the reference
+        # shares u_pred_sr across both phases the same way).
+        outputs, u_vjp = jax.vjp(
+            lambda p: generator_forward(p, batch), state.u_params
+        )
+        sr_d = jax.lax.stop_gradient(sr_of(outputs))
 
         # Phase A: critic update on detached SR.
         (c_loss, new_sn), c_grads = jax.value_and_grad(critic_loss, has_aux=True)(
@@ -432,10 +449,10 @@ def make_finetune_step(
             )
 
         # Phase B: generator update through the (just-updated) critic.
-        (_, aux), (d_sr, d_qa) = jax.value_and_grad(
-            gen_outputs_loss, argnums=(0, 1), has_aux=True
-        )(sr, qa, c_params, new_sn, batch, y_real, y_fake)
-        (u_grads,) = u_vjp((d_sr, d_qa))
+        (_, aux), d_outputs = jax.value_and_grad(
+            gen_outputs_loss, argnums=0, has_aux=True
+        )(outputs, c_params, new_sn, batch, y_real, y_fake)
+        (u_grads,) = u_vjp(d_outputs)
         u_updates, u_opt_state = u_optimizer.update(
             u_grads, state.u_opt_state, state.u_params
         )
@@ -451,6 +468,36 @@ def make_finetune_step(
         )
 
     return step
+
+
+def make_finetune_step(
+    model_cfg: _unet.MewZoomConfig,
+    critic_cfg: _bouncer.BouncerConfig,
+    u_optimizer: optax.GradientTransformation,
+    c_optimizer: optax.GradientTransformation,
+    remat: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Stage-2 GAN step for the 0.3.0 U-Net: the shared two-phase recipe
+    plus the QA/degradation generator term (see :func:`_make_gan_step`)."""
+
+    def generator_forward(u_params, batch):
+        mat = materialize(u_params)
+        return _unet.apply(
+            mat, batch["x"], model_cfg, remat=remat, compute_dtype=compute_dtype
+        )
+
+    return _make_gan_step(
+        generator_forward,
+        sr_of=lambda outputs: outputs[0],
+        extra_gen_terms=lambda outputs, batch: [
+            ("degradation_l2", _mse(outputs[1], batch["y_deg"]))
+        ],
+        u_optimizer=u_optimizer,
+        c_optimizer=c_optimizer,
+        remat=remat,
+        compute_dtype=compute_dtype,
+    )
 
 
 def make_ctrl_finetune_step(
@@ -468,95 +515,22 @@ def make_ctrl_finetune_step(
     Identical to :func:`make_finetune_step` except the generator is the
     Ctrl model conditioned on the true degradation labels (``c = y_deg``,
     as in pretraining) and the generator loss drops the QA term (this
-    architecture has no QA head): pixel L2 + critic-stage2/3 feature
-    matching + adversarial BCE, balanced."""
+    architecture has no QA head)."""
     from ultrazoom_tpu.models import ctrl as _ctrl
 
-    def critic_forward(c_params, sn_state, x, update):
-        c_mat, new_sn = spectral_materialize(c_params, sn_state, update=update)
-        outs = _bouncer.apply(c_mat, x, remat=remat, compute_dtype=compute_dtype)
-        return outs, new_sn
-
-    def critic_loss(c_params, sn_state, sr_detached, y_real_img, y_real, y_fake):
-        fake_outs, new_sn = critic_forward(c_params, sn_state, sr_detached, True)
-        real_outs, _ = critic_forward(c_params, new_sn, y_real_img, False)
-        loss = relativistic_bce(real_outs[-1], fake_outs[-1], y_real, y_fake)
-        return loss, new_sn
-
-    def gen_outputs_loss(sr, c_params, sn_state, batch, y_real, y_fake):
-        fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
-        real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
-        pixel = _mse(sr, batch["y"])
-        s2 = _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))
-        s3 = _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))
-        u_bce = relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real)
-        losses = jnp.stack([pixel, s2, s3, u_bce])
-        total = balanced_multitask(losses)
-        aux = {
-            "pixel_l2": pixel,
-            "stage2_l2": s2,
-            "stage3_l2": s3,
-            "upscaler_bce": u_bce,
-        }
-        return total, aux
-
-    def step(state: GanTrainState, batch, warmup: bool):
-        batch = normalize_batch(batch)
-        b = batch["x"].shape[0]
-        y_real = jnp.ones((b, 1), jnp.float32)
-        y_fake = jnp.zeros((b, 1), jnp.float32)
-
-        def u_forward(u_params):
-            mat = materialize(u_params)
-            return _ctrl.apply(
-                mat, batch["x"], batch["y_deg"], cfg=model_cfg,
-                remat=remat, compute_dtype=compute_dtype,
-            )
-
-        sr, u_vjp = jax.vjp(u_forward, state.u_params)
-        sr_d = jax.lax.stop_gradient(sr)
-
-        (c_loss, new_sn), c_grads = jax.value_and_grad(critic_loss, has_aux=True)(
-            state.c_params, state.sn_state, sr_d, batch["y"], y_real, y_fake
-        )
-        c_updates, c_opt_state = c_optimizer.update(
-            c_grads, state.c_opt_state, state.c_params
-        )
-        c_params = optax.apply_updates(state.c_params, c_updates)
-        metrics = {
-            "critic_bce": c_loss,
-            "critic_grad_norm": optax.global_norm(c_grads),
-        }
-
-        if warmup:
-            return (
-                GanTrainState(
-                    state.u_params,
-                    state.u_opt_state,
-                    c_params,
-                    c_opt_state,
-                    new_sn,
-                    state.step + 1,
-                ),
-                metrics,
-            )
-
-        (_, aux), d_sr = jax.value_and_grad(
-            gen_outputs_loss, argnums=0, has_aux=True
-        )(sr, c_params, new_sn, batch, y_real, y_fake)
-        (u_grads,) = u_vjp(d_sr)
-        u_updates, u_opt_state = u_optimizer.update(
-            u_grads, state.u_opt_state, state.u_params
-        )
-        u_params = optax.apply_updates(state.u_params, u_updates)
-        metrics.update(aux)
-        metrics["upscaler_grad_norm"] = optax.global_norm(u_grads)
-
-        return (
-            GanTrainState(
-                u_params, u_opt_state, c_params, c_opt_state, new_sn, state.step + 1
-            ),
-            metrics,
+    def generator_forward(u_params, batch):
+        mat = materialize(u_params)
+        return _ctrl.apply(
+            mat, batch["x"], batch["y_deg"], cfg=model_cfg,
+            remat=remat, compute_dtype=compute_dtype,
         )
 
-    return step
+    return _make_gan_step(
+        generator_forward,
+        sr_of=lambda outputs: outputs,
+        extra_gen_terms=lambda outputs, batch: [],
+        u_optimizer=u_optimizer,
+        c_optimizer=c_optimizer,
+        remat=remat,
+        compute_dtype=compute_dtype,
+    )
