@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultrazoom_tpu.convert.torch_import import torch_state_dict_to_tree
+from ultrazoom_tpu.engine.batching import dispatch_batched
 from ultrazoom_tpu.engine.infer import TiledUpscaler
 from ultrazoom_tpu.export import hf
 from ultrazoom_tpu.models import ctrl as _ctrl
@@ -167,15 +168,21 @@ class MewZoom(_Base):
         sr, qa = self._jitted("forward", compute_dtype)(x)
         return (sr[0], qa[0]) if squeeze else (sr, qa)
 
-    def upscale(self, x, compute_dtype=None, tile: int | None = None, **tile_kw):
+    def upscale(
+        self, x, compute_dtype=None, tile: int | None = None,
+        batch_dispatch: bool = True, **tile_kw,
+    ):
         """SR inference; pass ``tile=`` to stream large images through the
-        fixed-shape overlap-tile engine."""
+        fixed-shape overlap-tile engine.  ``batch_dispatch`` decomposes
+        intermediate batch sizes into known-fast anchor shapes
+        (engine/batching.py) — disable to force one graph per batch size."""
         x, squeeze = _ensure_nhwc(x)
         if tile is not None:
             eng = self.tiled(tile=tile, compute_dtype=compute_dtype, **tile_kw)
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
-        out = self._jitted("upscale", compute_dtype)(x)
+        fn = self._jitted("upscale", compute_dtype)
+        out = dispatch_batched(fn, x) if batch_dispatch else fn(x)
         return out[0] if squeeze else out
 
     def predict_degradation(self, x, compute_dtype=None):
@@ -279,7 +286,10 @@ class MewZoomCtrl(_Base):
             )
         return self._cache[key]
 
-    def upscale(self, x, c=None, compute_dtype=None, tile: int | None = None, **tile_kw):
+    def upscale(
+        self, x, c=None, compute_dtype=None, tile: int | None = None,
+        batch_dispatch: bool = True, **tile_kw,
+    ):
         if isinstance(c, _ctrl.ControlVector):
             c = c.to_tensor()
         x, squeeze = _ensure_nhwc(x)
@@ -293,7 +303,12 @@ class MewZoomCtrl(_Base):
             eng = self.tiled(c=c, tile=tile, compute_dtype=compute_dtype, **tile_kw)
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
-        out = self._jitted(compute_dtype)(x, c)
+        fn = self._jitted(compute_dtype)
+        out = (
+            dispatch_batched(lambda xx, cc: fn(xx, cc), x, c)
+            if batch_dispatch
+            else fn(x, c)
+        )
         return out[0] if squeeze else out
 
     def test_compare(self, x, c=None, compute_dtype=None):

@@ -37,7 +37,8 @@ def _time_fn(fn, args, iters=8):
 
 
 def bench_ctrl(
-    preset, size, batch, iters=8, compute_dtype=jnp.bfloat16, controllable=True
+    preset, size, batch, iters=8, compute_dtype=jnp.bfloat16, controllable=True,
+    dispatch=False,
 ):
     import dataclasses
 
@@ -55,7 +56,18 @@ def bench_ctrl(
     fn = jax.jit(
         lambda p, xx, cc: ctrl.upscale(p, xx, cc, cfg=cfg, compute_dtype=compute_dtype)
     )
-    dt = _time_fn(lambda xx: fn(params, xx, c), (x,), iters)
+    if dispatch:
+        # Production path (models/api.py upscale): intermediate batches are
+        # decomposed into the known-fast anchor shapes instead of compiling
+        # a per-batch graph that XLA may pessimise (engine/batching.py).
+        from ultrazoom_tpu.engine.batching import dispatch_batched
+
+        call = lambda xx: dispatch_batched(
+            lambda xs, cs: fn(params, xs, cs), xx, c
+        )
+    else:
+        call = lambda xx: fn(params, xx, c)
+    dt = _time_fn(call, (x,), iters)
     return dt, batch * size * size / 1e6
 
 
@@ -189,10 +201,13 @@ def main(argv=None) -> None:
         rows.append(("3X non-Ctrl 3.4M, 512^2 b4", dt, mp))
         dt, mp = bench_ctrl("4x", 512, 8, controllable=False)
         rows.append(("4X non-Ctrl 14M, 512^2 b8", dt, mp))
-        # Batch sweep 1..8 on the headline config.
-        for b in (1, 2, 4):
-            dt, mp = bench_ctrl("4x", 512, b)
-            rows.append((f"4X Ctrl 14M, 512^2 b{b} [sweep]", dt, mp))
+        # Batch sweep 1..8 on the headline config, through the production
+        # batch dispatcher (BASELINE.json's comparison surface is batch
+        # 1-8; naive per-batch graphs are pathological at b2-b7 — see
+        # engine/batching.py).
+        for b in (1, 2, 3, 4, 5, 6, 7):
+            dt, mp = bench_ctrl("4x", 512, b, dispatch=True)
+            rows.append((f"4X Ctrl 14M, 512^2 b{b} [dispatched]", dt, mp))
     dt, mp, dmin, dmax = bench_control_sweep()
     rows.append(("2X Ctrl control sweep (8 settings)", dt, mp))
     dt, mp = bench_unet(256, 1)

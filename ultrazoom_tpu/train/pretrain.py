@@ -310,25 +310,29 @@ def main(argv=None) -> None:
     # Device-resident fast path: a cached dataset small enough for HBM is
     # uploaded once and batches are gathered on device — zero per-step H2D.
     from ultrazoom_tpu.train.device_data import (
-        DEVICE_DATA_BUDGET,
         cache_nbytes,
         epoch_batch_indices,
         make_gather_step,
+        plan_device_data,
         upload_cache,
     )
 
     device_data = None
-    if (
-        mesh is None
-        and isinstance(train_ds, CachedImageFolder)
-        and cache_nbytes(train_ds) <= DEVICE_DATA_BUDGET
-    ):
+    data_mode = (
+        plan_device_data(train_ds, mesh, args.batch_size)
+        if isinstance(train_ds, CachedImageFolder)
+        else None
+    )
+    n_shards = mesh.size if (mesh is not None and data_mode == "sharded") else 1
+    if data_mode is not None:
         print(
             f"Uploading {cache_nbytes(train_ds) / 2**30:.2f} GiB sample cache "
-            "to device (one-time)..."
+            f"to device ({data_mode}, one-time)..."
         )
-        device_data = upload_cache(train_ds)
-        gather_step = make_gather_step(step_fn)
+        device_data = upload_cache(train_ds, mesh, data_mode)
+        gather_step = make_gather_step(
+            step_fn, mesh=mesh, mode=data_mode, n_samples=len(train_ds)
+        )
 
     if is_ctrl:
         from ultrazoom_tpu.train.steps import make_ctrl_eval_step
@@ -380,9 +384,10 @@ def main(argv=None) -> None:
             # epoch - 1: epoch_batch_indices is 0-based like BatchLoader's
             # internal counter, so both paths shuffle identically.
             for idx in epoch_batch_indices(
-                len(train_ds), args.batch_size, data_seed, epoch - 1
+                len(train_ds), args.batch_size, data_seed, epoch - 1,
+                n_shards=n_shards,
             ):
-                state, metrics = gather_step(state, device_data, jnp.asarray(idx))
+                state, metrics = gather_step(state, device_data, idx)
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + v
                 n += 1
@@ -414,9 +419,10 @@ def main(argv=None) -> None:
                     "the last checkpoint to test reproducibility..."
                 )
                 diagnosis = replay_epochs(
-                    lambda s, idx, e: gather_step(s, device_data, jnp.asarray(idx)),
+                    lambda s, idx, e: gather_step(s, device_data, idx),
                     lambda e: epoch_batch_indices(
-                        len(train_ds), args.batch_size, data_seed, e - 1
+                        len(train_ds), args.batch_size, data_seed, e - 1,
+                        n_shards=n_shards,
                     ),
                     ck_state,
                     int(ck_meta["epoch"]) + 1,
