@@ -1,10 +1,11 @@
-"""ONNX round-trip recipe (tools/export_onnx.py).
+"""ONNX round-trip (tools/export_onnx.py), U-Net family.
 
-Steps 1-2 (HF dir -> reference torch model, strict) run in this
-environment; steps 3-4 (torch.onnx.export + ORT gate) are exercised when
-onnx/onnxscript are installed and skipped (with the recipe verified up to
-the gate) otherwise — closing VERDICT r1 missing #1 as demonstrably
-environment-blocked rather than absent.
+Steps 1-3 (HF dir -> reference torch model strict -> torch.onnx.export ->
+structural gate) run fully in this environment: the TorchScript exporter's
+ModelProto serialization is C++-side, so no python onnx package is needed
+(the dynamo path of the reference notebook is used when onnx/onnxscript
+ARE installed).  Only the ORT numeric session (step 4) stays dep-gated.
+Ctrl-family export lives in tests/test_onnx_ctrl_export.py.
 """
 
 import numpy as np
@@ -50,33 +51,32 @@ def test_build_reference_model_from_our_export(tmp_path):
     )
 
 
-def test_onnx_export_requires_onnx_or_fails_clearly(tmp_path):
+def test_onnx_export_unet_end_to_end(tmp_path):
+    """Full U-Net chain through the reference torch model: a real .onnx is
+    produced (with or without the onnx package) and passes the structural
+    gate; parse it back with the pure-python reader."""
+    from ultrazoom_tpu.convert.onnx_reader import read_onnx
     from ultrazoom_tpu.tools.export_onnx import export_onnx
 
     _, export_dir = _tiny_export(tmp_path, seed=32)
     out = tmp_path / "model.onnx"
-    try:
-        import onnx  # noqa: F401
-        import onnxscript  # noqa: F401
-
-        have_onnx = True
-    except ImportError:
-        have_onnx = False
-
-    if have_onnx:
-        path = export_onnx(export_dir, out, reference_src=REF_SRC, image_size=16)
-        assert (tmp_path / "model.onnx").exists(), path
-    else:
-        with pytest.raises(RuntimeError, match="onnx"):
-            export_onnx(export_dir, out, reference_src=REF_SRC, image_size=16)
+    path = export_onnx(export_dir, out, reference_src=REF_SRC, image_size=16)
+    assert (tmp_path / "model.onnx").exists(), path
+    s = read_onnx(out)
+    # Snapshot ONNXModel interface: single input, clamp in-graph.
+    assert [v["name"] for v in s.inputs] == ["x"]
+    assert s.op_counts.get("Clip", 0) >= 1
+    assert s.op_counts.get("Conv", 0) >= 10
 
 
-def test_ctrl_arch_is_rejected_with_stablehlo_pointer(tmp_path):
+def test_ctrl_arch_loads_torch_reconstruction(tmp_path):
+    """Ctrl exports build our torch 0.2.x reconstruction (the snapshot has
+    no source for that generation) rather than being rejected."""
     from ultrazoom_tpu.tools.export_onnx import build_reference_model
 
     m = MewZoomCtrl.from_config(
         MewZoomCtrl.Config(upscale_ratio=2, num_channels=8, num_layers=2), seed=33
     )
     m.save_pretrained(tmp_path / "ctrl")
-    with pytest.raises(RuntimeError, match="StableHLO"):
-        build_reference_model(tmp_path / "ctrl", reference_src=REF_SRC)
+    tm, config = build_reference_model(tmp_path / "ctrl", reference_src=REF_SRC)
+    assert tm.controllable and config["num_layers"] == 2

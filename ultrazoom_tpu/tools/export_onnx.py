@@ -9,19 +9,23 @@ reference implementation:
 
   1. load OUR HF-style export dir (config.json + torch-layout
      model.safetensors, written by ``model.save_pretrained`` /
-     tools/export.py) into the reference ``MewZoom`` *strict*,
-  2. wrap it in the reference's ``ONNXModel`` (so the [0,1] clamp is in the
-     ONNX graph, reference model.py:195-209),
-  3. ``torch.onnx.export`` with dynamic batch/H/W exactly as the
-     reference's export notebook (dynamo path, Dim.DYNAMIC),
-  4. numeric parity gate vs torch: ``assert_allclose(rtol=1e-2, atol=1e-3)``
-     through an ONNX Runtime CPU session (cell-11's tolerance).
-
-Requires: torch (always), the reference ``ultrazoom`` package or a source
-tree (``--reference_src``), and onnx/onnxscript for step 3 + onnxruntime
-for step 4.  Steps degrade with clear messages when a dependency is absent
-(this air-gapped build image has torch but no onnx; the script is the
-recorded recipe, tests cover steps 1-2 and gate 3-4 on availability).
+     tools/export.py) into a torch model *strict* — the reference
+     ``MewZoom`` for U-Net exports, our torch Ctrl reconstruction
+     (convert/ctrl_torch.py) for the 0.2.x family whose source the
+     snapshot lacks,
+  2. wrap it in the matching export wrapper so the [0,1] clamp is in the
+     ONNX graph (reference model.py:195-209; Ctrl keeps the two-input
+     ``(x, c)`` interface of cell-9 / README.md:181-185),
+  3. ``torch.onnx.export`` with dynamic batch/H/W.  The dynamo path
+     (reference notebook) runs when onnx+onnxscript are installed;
+     otherwise the TorchScript exporter is used — its ModelProto
+     serialization is C++ and needs NO python onnx package, so this step
+     produces a real .onnx artifact even in this air-gapped image,
+  4. structural gate via our pure-python proto reader
+     (convert/onnx_reader.py): opset/input/initializer checks — always;
+     numeric parity gate ``assert_allclose(rtol=1e-2, atol=1e-3)`` through
+     an ONNX Runtime CPU session (cell-11's tolerance) when onnxruntime
+     is installed.
 
 Usage::
 
@@ -84,7 +88,11 @@ def load_reference_ultrazoom(reference_src: str | None = None):
 
 
 def build_reference_model(model_path, reference_src: str | None = None):
-    """Steps 1-2: HF dir -> reference torch MewZoom (strict load), eval'd.
+    """Steps 1-2: HF dir -> torch model (strict load), eval'd.
+
+    U-Net exports load into the *reference* ``MewZoom``; Ctrl exports load
+    into our torch reconstruction of the 0.2.x graph (the snapshot does not
+    contain that generation's source — convert/ctrl_torch.py).
 
     Returns (torch_model, config_args).
     """
@@ -93,13 +101,12 @@ def build_reference_model(model_path, reference_src: str | None = None):
     model_path = pathlib.Path(model_path)
     config = json.loads((model_path / "config.json").read_text())
     arch = config.pop("architecture", "mewzoom-unet")
+    if arch == "mewzoom-ctrl":
+        from ultrazoom_tpu.convert.ctrl_torch import load_torch_ctrl_pretrained
+
+        return load_torch_ctrl_pretrained(model_path)
     if arch != "mewzoom-unet":
-        raise RuntimeError(
-            f"ONNX round-trip targets the 0.3.0 U-Net (the architecture the "
-            f"reference snapshot can construct); got {arch!r}.  Ctrl models "
-            f"deploy via StableHLO (tools/export.py) — the 0.2.x torch class "
-            f"is absent from the reference snapshot."
-        )
+        raise RuntimeError(f"unknown architecture {arch!r}")
 
     ref = load_reference_ultrazoom(reference_src)
     model = ref.MewZoom(**config)
@@ -124,36 +131,96 @@ def export_onnx(
     """
     import torch
 
-    model, _ = build_reference_model(model_path, reference_src)
-    ref = load_reference_ultrazoom(reference_src)
-    onnx_model = ref.ONNXModel(model)
+    model, config = build_reference_model(model_path, reference_src)
+    is_ctrl = hasattr(model, "controllable")
+    if is_ctrl:
+        from ultrazoom_tpu.convert.ctrl_torch import OnnxCtrlModel
 
-    try:
-        from torch.onnx import export as torch_onnx_export
-        from torch.export.dynamic_shapes import Dim
-
-        x = torch.randn(1, 3, image_size, image_size)
+        onnx_model = OnnxCtrlModel(model)
+        two_inputs = model.controllable
+    else:
+        ref = load_reference_ultrazoom(reference_src)
         # The snapshot's ONNXModel takes only x (cell-9's (x, c) is 0.2.x
         # drift; the class signature is the source of truth).
-        dynamic_shapes = {
+        onnx_model = ref.ONNXModel(model)
+        two_inputs = False
+
+    x = torch.randn(1, 3, image_size, image_size)
+    c = torch.tensor([[0.5, 0.2, 0.3]])
+    args = (x, c) if two_inputs else (x,)
+    input_names = ["x", "c"] if two_inputs else ["x"]
+
+    try:
+        # Preferred: the dynamo exporter the reference notebook uses
+        # (needs onnx + onnxscript).
+        from torch.export.dynamic_shapes import Dim
+        from torch.onnx import export as torch_onnx_export
+
+        dynamic_shapes: dict = {
             "x": {0: Dim.DYNAMIC, 1: Dim.STATIC, 2: Dim.DYNAMIC, 3: Dim.DYNAMIC},
         }
+        if two_inputs:
+            dynamic_shapes["c"] = {0: Dim.DYNAMIC, 1: Dim.STATIC}
         onnx_graph = torch_onnx_export(
             onnx_model,
-            (x,),
+            args,
             dynamic_shapes=dynamic_shapes,
             dynamo=True,
-            input_names=["x"],
+            input_names=input_names,
             output_names=["output"],
         )
         onnx_graph.save(str(out_path))
-    except ImportError as e:
-        raise RuntimeError(
-            "torch.onnx dynamo export requires the `onnx` + `onnxscript` "
-            "packages (pip install onnx onnxscript).  The HF dir already "
-            f"loads into the reference torch model strict; only the ONNX "
-            f"serialization step is blocked ({e})."
-        ) from e
+    except ImportError:
+        # Fallback: the TorchScript exporter serializes the ModelProto in
+        # C++, so it works WITHOUT the python `onnx` package — the only
+        # python-side onnx use is _add_onnxscript_fn, a no-op unless the
+        # graph contains custom onnxscript functions (ours never does).
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+        orig = onnx_proto_utils._add_onnxscript_fn
+        onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _ops: model_bytes
+        try:
+            dynamic_axes = {"x": {0: "batch", 2: "height", 3: "width"}}
+            if two_inputs:
+                dynamic_axes["c"] = {0: "batch"}
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                torch.onnx.export(
+                    onnx_model,
+                    args,
+                    str(out_path),
+                    dynamo=False,
+                    opset_version=17,
+                    input_names=input_names,
+                    output_names=["output"],
+                    dynamic_axes=dynamic_axes,
+                )
+        finally:
+            onnx_proto_utils._add_onnxscript_fn = orig
+
+    # Structural gate (no onnx package needed): parse the emitted
+    # ModelProto with our pure-python wire reader and check the artifact
+    # carries the full model.
+    from ultrazoom_tpu.convert.onnx_reader import read_onnx
+
+    summary = read_onnx(out_path)
+    assert summary.opset.get("", 0) >= 10, summary.opset  # DepthToSpace CRD
+    got_inputs = [v["name"] for v in summary.inputs]
+    assert got_inputs == input_names, got_inputs
+    n_params = sum(p.numel() for p in model.parameters())
+    # Weights live in graph initializers plus whatever the exporter
+    # constant-folded into Constant nodes; folding may legitimately shrink
+    # the count a little (fused scalar gates), never by much.
+    assert summary.weight_elements >= 0.95 * n_params, (
+        summary.weight_elements, n_params,
+    )
+    print(
+        f"ONNX structural gate passed: opset {summary.opset.get('', '?')}, "
+        f"inputs {got_inputs}, {len(summary.ops)} nodes, "
+        f"{summary.initializer_nbytes / 1e6:.1f} MB weights."
+    )
 
     if check:
         try:
@@ -167,11 +234,14 @@ def export_onnx(
         from numpy.testing import assert_allclose
 
         with torch.inference_mode():
-            want = model.upscale(x).numpy()
+            want = model.upscale(*args).numpy()
         session = onnxruntime.InferenceSession(
             str(out_path), providers=["CPUExecutionProvider"]
         )
-        got = session.run(None, {"x": x.numpy()})[0]
+        feeds = {"x": x.numpy()}
+        if two_inputs:
+            feeds["c"] = c.numpy()
+        got = session.run(None, feeds)[0]
         assert_allclose(want, got, rtol=1e-2, atol=1e-3)
         print("ONNX parity gate passed (rtol=1e-2, atol=1e-3).")
     return str(out_path)
