@@ -243,3 +243,31 @@ def test_data_parallel_step_matches_single_device():
     # than float tolerance.
     for x, y in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(got_state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
+
+
+def test_pixel_ssim_combiner_trains():
+    """pixel_ssim: balanced pixel + differentiable (1-SSIM); finite grads,
+    dssim reported, a few steps reduce it on a fixed batch."""
+    import numpy as np
+
+    from ultrazoom_tpu.models import ctrl
+    from ultrazoom_tpu.train import TrainState, make_optimizer
+    from ultrazoom_tpu.train.steps import make_ctrl_pretrain_step
+
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=2)
+    params = ctrl.init(jax.random.key(0), cfg)
+    opt = make_optimizer(3e-3, 1.0)
+    step = jax.jit(make_ctrl_pretrain_step(cfg, opt, None, loss_combiner="pixel_ssim"))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32),
+        "y": rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32),
+        "y_deg": rng.uniform(0, 1, (2, 3)).astype(np.float32),
+    }
+    first = None
+    for _ in range(8):
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["dssim"]))
+        first = first if first is not None else float(m["dssim"])
+    assert float(m["dssim"]) < first

@@ -52,26 +52,54 @@ def save_pretrained(
     path: str | pathlib.Path,
     flat_torch_sd: Mapping[str, np.ndarray],
     config: dict[str, Any],
+    dtype: str | None = None,
 ) -> None:
-    """Write config.json + model.safetensors (torch tensor layout)."""
+    """Write config.json + model.safetensors (torch tensor layout).
+
+    ``dtype="bfloat16"`` halves the artifact (safetensors carries BF16
+    natively; torch and our loaders read it back transparently) — how the
+    56M-param flagship ships at ~112 MB instead of 225 MB.
+    """
     from safetensors.numpy import save_file
+
+    cast = None
+    if dtype in ("bfloat16", "bf16"):
+        import ml_dtypes
+
+        cast = ml_dtypes.bfloat16
+    elif dtype is not None:
+        cast = np.dtype(dtype)
 
     p = pathlib.Path(path)
     p.mkdir(parents=True, exist_ok=True)
     (p / CONFIG_NAME).write_text(json.dumps(config, indent=2))
     save_file(
-        {k: np.ascontiguousarray(v) for k, v in flat_torch_sd.items()},
+        {
+            k: np.ascontiguousarray(v if cast is None else np.asarray(v).astype(cast))
+            for k, v in flat_torch_sd.items()
+        },
         str(p / WEIGHTS_NAME),
     )
 
 
 def load_pretrained(path: str | pathlib.Path):
-    """Read (config_dict, flat_torch_state_dict) from an HF-style dir."""
+    """Read (config_dict, flat_torch_state_dict) from an HF-style dir.
+
+    Reduced-precision artifacts (bfloat16/float16 exports) are upcast to
+    float32 on load — params are f32 by convention; ``compute_dtype``
+    controls the on-device precision.
+    """
     from safetensors.numpy import load_file
 
     p = pathlib.Path(path)
     config = json.loads((p / CONFIG_NAME).read_text())
     sd = load_file(str(p / WEIGHTS_NAME))
+    sd = {
+        k: v.astype(np.float32)
+        if v.dtype.kind in ("f", "V") and v.dtype.itemsize < 4
+        else v
+        for k, v in sd.items()
+    }
     return config, sd
 
 

@@ -78,11 +78,13 @@ class _Base:
 
     # -- persistence -------------------------------------------------------
 
-    def save_pretrained(self, path) -> None:
+    def save_pretrained(self, path, dtype: str | None = None) -> None:
+        """HF-style export (config.json + torch-layout model.safetensors).
+        ``dtype="bfloat16"`` halves the artifact size."""
         params = _tr.materialize(self.params)
         flat = self._to_torch_flat(params)
         config = {**self.cfg.to_dict(), "architecture": self.ARCH}
-        hf.save_pretrained(path, flat, config)
+        hf.save_pretrained(path, flat, config, dtype=dtype)
 
     def push_to_hub(self, repo_id: str, private: bool = False, **kw) -> None:
         """Upload to the HuggingFace Hub (reference

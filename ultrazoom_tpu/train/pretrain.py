@@ -77,10 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive_loss_learning_rate", type=float, default=1e-3)
     p.add_argument(
         "--loss_combiner", default="balanced",
-        choices=("balanced", "adaptive", "pixel"),
+        choices=("balanced", "adaptive", "pixel", "pixel_ssim"),
         help="balanced/adaptive follow the reference's multitask recipes; "
         "pixel drops the VGG terms (the distortion-oriented recipe when "
-        "pretrained VGG19 weights are unavailable)",
+        "pretrained VGG19 weights are unavailable); pixel_ssim adds a "
+        "differentiable (1 - SSIM) term to target structural fidelity",
     )
     p.add_argument(
         "--init_params_from", default=None,
@@ -248,7 +249,7 @@ def main(argv=None) -> None:
         )
     vgg = (
         None
-        if args.loss_combiner == "pixel"
+        if args.loss_combiner in ("pixel", "pixel_ssim")
         else init_vgg19_features(args.vgg_weights_path, seed=0)
     )
     if args.loss_combiner == "adaptive":

@@ -197,10 +197,13 @@ def make_pretrain_step(
 
     ``loss_combiner="pixel"`` drops the VGG towers (pixel + deg, balanced)
     — the distortion-oriented recipe for environments without pretrained
-    VGG19 weights (see make_ctrl_pretrain_step docstring)."""
-    assert loss_combiner in ("balanced", "adaptive", "pixel")
+    VGG19 weights (see make_ctrl_pretrain_step docstring);
+    ``"pixel_ssim"`` additionally balances a differentiable (1 - SSIM)
+    term (metrics/quality.ssim) to target structural fidelity directly."""
+    assert loss_combiner in ("balanced", "adaptive", "pixel", "pixel_ssim")
     adaptive = loss_combiner == "adaptive"
-    pixel_only = loss_combiner == "pixel"
+    pixel_only = loss_combiner in ("pixel", "pixel_ssim")
+    with_ssim = loss_combiner == "pixel_ssim"
 
     def loss_fn(params, batch):
         model_params = params["model"] if adaptive else params
@@ -211,10 +214,16 @@ def make_pretrain_step(
         pixel = _mse(sr, batch["y"])
         deg = _mse(qa, batch["y_deg"])
         if pixel_only:
-            total = balanced_multitask(jnp.stack([pixel, deg]))
-            return total, {
-                "loss": total, "pixel_l2": pixel, "degradation_l2": deg,
-            }
+            terms = [pixel, deg]
+            aux = {"pixel_l2": pixel, "degradation_l2": deg}
+            if with_ssim:
+                from ultrazoom_tpu.metrics.quality import ssim as _ssim
+
+                dssim = 1.0 - _ssim(jnp.clip(sr, 0.0, 1.0), batch["y"])
+                terms.append(dssim)
+                aux["dssim"] = dssim
+            total = balanced_multitask(jnp.stack(terms))
+            return total, {"loss": total, **aux}
         # VGG towers at the compute dtype — the reference autocasts the
         # compiled VGG loss to bf16 (pretrain.py:117-123,200); f32 towers
         # also blow HBM at batch 32 x 256^2 (the final MSEs stay f32).
@@ -278,9 +287,10 @@ def make_ctrl_pretrain_step(
     """
     from ultrazoom_tpu.models import ctrl as _ctrl
 
-    assert loss_combiner in ("balanced", "adaptive", "pixel")
+    assert loss_combiner in ("balanced", "adaptive", "pixel", "pixel_ssim")
     adaptive = loss_combiner == "adaptive"
-    pixel_only = loss_combiner == "pixel"
+    pixel_only = loss_combiner in ("pixel", "pixel_ssim")
+    with_ssim = loss_combiner == "pixel_ssim"
 
     def loss_fn(params, batch):
         model_params = params["model"] if adaptive else params
@@ -291,6 +301,12 @@ def make_ctrl_pretrain_step(
         )
         pixel = _mse(sr, batch["y"])
         if pixel_only:
+            if with_ssim:
+                from ultrazoom_tpu.metrics.quality import ssim as _ssim
+
+                dssim = 1.0 - _ssim(jnp.clip(sr, 0.0, 1.0), batch["y"])
+                total = balanced_multitask(jnp.stack([pixel, dssim]))
+                return total, {"loss": total, "pixel_l2": pixel, "dssim": dssim}
             return pixel, {"loss": pixel, "pixel_l2": pixel}
         # bf16 VGG towers under mixed precision (see make_pretrain_step).
         ld = compute_dtype or sr.dtype
