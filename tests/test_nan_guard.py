@@ -23,6 +23,38 @@ def test_tripped_detects_any_nonfinite():
     assert NanRewindGuard.tripped({"loss": 1.0, "grad_norm": float("inf")})
 
 
+def test_tripped_spike_threshold():
+    """The round-3 finite blow-up shape: balanced loss pinned at #tasks while
+    per-term metrics explode (grad_norm ~6e14, pixel_l2 ~8e8)."""
+    spiked = {"loss": 4.0, "grad_norm": 6.3e14, "pixel_l2": 8.2e8}
+    assert NanRewindGuard.tripped(spiked, spike_threshold=1e6)
+    assert not NanRewindGuard.tripped(spiked)  # disabled by default
+    healthy = {"loss": 4.0, "grad_norm": 10.4, "pixel_l2": 0.011}
+    assert not NanRewindGuard.tripped(healthy, spike_threshold=1e6)
+
+
+def test_replay_pinpoints_finite_spike():
+    """A spike that recovers within the epoch is invisible to the epoch-end
+    loss check; the per-step sweep with spike_threshold must pinpoint it."""
+    poison = int(_indices(2)[1][0])
+
+    def run_step(state, idx, epoch):
+        spiked = poison in idx
+        return state + 1, {"loss": 4.0, "grad_norm": 5e13 if spiked else 2.0}
+
+    poisoned_step = next(i for i, idx in enumerate(_indices(2)) if poison in idx)
+    diag = replay_epochs(
+        run_step, _indices, state=0, from_epoch=2, to_epoch=2,
+        spike_threshold=1e6,
+    )
+    assert diag["reproduced"] is True
+    assert diag["epoch"] == 2 and diag["step"] == poisoned_step
+    assert diag["metrics"]["grad_norm"] == 5e13
+    # Without the threshold the finite spike replays "clean".
+    diag2 = replay_epochs(run_step, _indices, state=0, from_epoch=2, to_epoch=2)
+    assert diag2 == {"reproduced": False, "epoch": 2}
+
+
 def _indices(epoch):
     # 3 fixed batches per epoch, deterministic in the epoch.
     rng = np.random.default_rng(epoch)

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max_nan_rewinds", type=int, default=3)
     p.add_argument(
+        "--spike_threshold", type=float, default=1e6,
+        help="also trip the guard on finite epoch-mean metrics above this "
+        "magnitude (see train.pretrain); 0 disables",
+    )
+    p.add_argument(
         "--inject_nan_epoch", type=int, default=None,
         help="fault injection for guard testing: NaN-poison the generator "
         "params once at the start of this epoch",
@@ -329,8 +334,8 @@ def main(argv=None) -> None:
                 n += 1
         means = {k: float(v) / n for k, v in sums.items()}
 
-        if guard is not None and guard.tripped(means):
-            print(f"Epoch {epoch}: NON-FINITE metrics {means} — NaN guard engaged.")
+        if guard is not None and guard.tripped(means, args.spike_threshold):
+            print(f"Epoch {epoch}: NON-FINITE/SPIKED metrics {means} — NaN guard engaged.")
             checkpointer.wait()
             diagnosis = None
             if device_data is not None:
@@ -354,6 +359,7 @@ def main(argv=None) -> None:
                     int(ck_meta["epoch"]) + 1,
                     epoch,
                     loss_key="critic_bce",
+                    spike_threshold=args.spike_threshold,
                 )
                 print(f"Replay diagnosis: {diagnosis}")
             guard.record(epoch, means, diagnosis)

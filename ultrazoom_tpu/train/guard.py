@@ -63,9 +63,22 @@ class NanRewindGuard:
         self.rewinds = 0
 
     @staticmethod
-    def tripped(means: dict[str, float]) -> bool:
-        """True if any epoch-mean metric is non-finite."""
-        return any(not math.isfinite(float(v)) for v in means.values())
+    def tripped(means: dict[str, float], spike_threshold: float = 0.0) -> bool:
+        """True if any epoch-mean metric is non-finite — or, when
+        ``spike_threshold`` > 0, exceeds it in magnitude.
+
+        The spike clause exists because the round-2 instability can also
+        manifest FINITE: a round-3 56M bf16 run produced one epoch with
+        grad_norm ~6e14 and pixel_l2 ~8e8 (recovered only thanks to gradient
+        clipping).  Healthy epoch means in every recipe here are O(10), so a
+        threshold of 1e6 separates the regimes by five orders of magnitude
+        either way.
+        """
+        return any(
+            not math.isfinite(float(v))
+            or (spike_threshold > 0.0 and abs(float(v)) > spike_threshold)
+            for v in means.values()
+        )
 
     def rewind(self, checkpointer, state_template) -> tuple[Any, int]:
         """Restore the last checkpoint; returns ``(state, resume_epoch)``.
@@ -113,6 +126,7 @@ def replay_epochs(
     from_epoch: int,
     to_epoch: int,
     loss_key: str = "loss",
+    spike_threshold: float = 0.0,
 ) -> dict:
     """Deterministically re-execute epochs ``[from_epoch, to_epoch]`` from a
     restored state and report whether (and exactly where) the NaN reproduces.
@@ -127,22 +141,36 @@ def replay_epochs(
     per epoch (a NaN in params poisons every subsequent loss, so the last
     step's loss is a sufficient witness); the final — poisoned — epoch is
     stepped with a per-step check to pinpoint the batch.
+
+    ``spike_threshold`` > 0 extends the witness from "``loss_key``
+    non-finite" to "ANY metric non-finite or above the threshold" — needed
+    for finite blow-ups, where the balanced-multitask ``loss`` stays at
+    #tasks by construction and only per-term metrics (pixel_l2, grad_norm)
+    betray the spike; a clipped spike also recovers, so the poisoned
+    epoch's per-step sweep is the only place it is visible at all.
     """
+
+    def bad(metrics: dict) -> bool:
+        if spike_threshold > 0.0:
+            return NanRewindGuard.tripped(metrics, spike_threshold)
+        return not math.isfinite(float(metrics[loss_key]))
+
     m: dict = {}
     for e in range(from_epoch, to_epoch):
         for idx in index_batches_for_epoch(e):
             state, m = run_step(state, idx, e)
-        if m and not math.isfinite(float(m[loss_key])):
+        if m and bad(m):
             return {"reproduced": True, "epoch": e, "step": None,
                     "note": "reproduced before the poisoned epoch"}
     for i, idx in enumerate(index_batches_for_epoch(to_epoch)):
         state, m = run_step(state, idx, to_epoch)
-        if not math.isfinite(float(m[loss_key])):
+        if bad(m):
             return {
                 "reproduced": True,
                 "epoch": to_epoch,
                 "step": i,
                 "batch_indices": [int(j) for j in idx],
+                "metrics": {k: float(v) for k, v in m.items()},
             }
     return {"reproduced": False, "epoch": to_epoch}
 

@@ -131,6 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max_nan_rewinds", type=int, default=3)
     p.add_argument(
+        "--spike_threshold", type=float, default=1e6,
+        help="also trip the guard when any finite epoch-mean metric exceeds "
+        "this magnitude (the round-3 instability manifested as a FINITE "
+        "grad_norm ~6e14 epoch that only gradient clipping contained); "
+        "0 disables the spike clause",
+    )
+    p.add_argument(
         "--inject_nan_epoch", type=int, default=None,
         help="fault injection for guard testing: NaN-poison the params once "
         "at the start of this epoch",
@@ -404,8 +411,8 @@ def main(argv=None) -> None:
             print(f"Profiler trace written to {args.profile_dir}")
         means = {k: float(v) / n for k, v in sums.items()}
 
-        if guard is not None and guard.tripped(means):
-            print(f"Epoch {epoch}: NON-FINITE metrics {means} — NaN guard engaged.")
+        if guard is not None and guard.tripped(means, args.spike_threshold):
+            print(f"Epoch {epoch}: NON-FINITE/SPIKED metrics {means} — NaN guard engaged.")
             checkpointer.wait()
             diagnosis = None
             if device_data is not None:
@@ -429,6 +436,7 @@ def main(argv=None) -> None:
                     int(ck_meta["epoch"]) + 1,
                     epoch,
                     loss_key="loss",
+                    spike_threshold=args.spike_threshold,
                 )
                 print(f"Replay diagnosis: {diagnosis}")
             guard.record(epoch, means, diagnosis)
