@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_path", required=True, help="HF-style output dir")
     p.add_argument("--push_to_hub", default=None, help="optional HF repo id")
     p.add_argument(
+        "--dtype", default="float32", choices=("float32", "bfloat16"),
+        help="safetensors storage dtype; bfloat16 halves the artifact size "
+        "(loaders upcast to f32 transparently)",
+    )
+    p.add_argument(
         "--stablehlo", default=None,
         help="also export a StableHLO artifact to this file",
     )
@@ -92,10 +97,10 @@ def main(argv=None) -> None:
 
     args = build_parser().parse_args(argv)
     model, meta = load_model_from_train_checkpoint(args.checkpoint_path)
-    model.save_pretrained(args.output_path)
+    model.save_pretrained(args.output_path, dtype=args.dtype)
     print(
         f"Exported epoch-{meta.get('epoch', '?')} model "
-        f"({model.num_params:,} params) to {args.output_path}"
+        f"({model.num_params:,} params, {args.dtype}) to {args.output_path}"
     )
     if args.push_to_hub:
         model.push_to_hub(args.push_to_hub)
