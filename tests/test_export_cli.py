@@ -71,6 +71,32 @@ def test_export_cli_produces_loadable_artifacts(trained_checkpoint, tmp_path):
     )
 
 
+def test_export_cli_bf16_dtype(trained_checkpoint, tmp_path):
+    """--dtype bfloat16 halves the artifact; load upcasts to f32 and the
+    upscale stays within bf16 rounding of the f32 export."""
+    from ultrazoom_tpu.models import from_pretrained
+    from ultrazoom_tpu.tools.export import main
+
+    ck, cfg, state = trained_checkpoint
+    f32_dir, bf16_dir = tmp_path / "f32", tmp_path / "bf16"
+    main(["--checkpoint_path", str(ck), "--output_path", str(f32_dir)])
+    main(["--checkpoint_path", str(ck), "--output_path", str(bf16_dir),
+          "--dtype", "bfloat16"])
+    f32_sz = (f32_dir / "model.safetensors").stat().st_size
+    bf16_sz = (bf16_dir / "model.safetensors").stat().st_size
+    assert bf16_sz < 0.6 * f32_sz
+
+    model = from_pretrained(bf16_dir)
+    leaf = jax.tree.leaves(model.params)[0]
+    assert leaf.dtype == np.float32  # transparent upcast on load
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    ref = from_pretrained(f32_dir).upscale(x)
+    np.testing.assert_allclose(
+        np.asarray(model.upscale(x)), np.asarray(ref), atol=1e-2
+    )
+
+
 def test_validate_accepts_train_checkpoint(trained_checkpoint, tmp_path):
     from PIL import Image
 
