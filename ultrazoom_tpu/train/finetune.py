@@ -169,7 +169,9 @@ def main(argv=None) -> None:
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
     remat: bool | str = False
-    if args.activation_checkpointing:
+    # Explicit (non-auto) --remat_policy implies activation checkpointing
+    # (same rationale as train.pretrain).
+    if args.activation_checkpointing or args.remat_policy != "auto":
         if is_ctrl and args.remat_policy in ("auto", "hidden"):
             remat = "hidden"
         else:

@@ -286,7 +286,10 @@ def main(argv=None) -> None:
         print(f"Resumed from epoch {meta['epoch']}.")
 
     remat: bool | str = False
-    if args.activation_checkpointing:
+    # An explicit (non-auto) --remat_policy implies activation checkpointing:
+    # a policy choice with checkpointing silently off is never what the user
+    # meant, and costs a full compile to discover.
+    if args.activation_checkpointing or args.remat_policy != "auto":
         if is_ctrl and args.remat_policy in ("auto", "hidden"):
             remat = "hidden"
         else:
