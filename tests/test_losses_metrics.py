@@ -60,6 +60,29 @@ def test_adaptive_multitask():
     assert abs(float(adaptive_multitask(p, losses)) - 3.0) < 1e-6
 
 
+def test_adaptive_multitask_sigma_floor():
+    """The runaway guard: log-sigmas below the floor act AS the floor and
+    receive zero gradient, so the Kendall positive feedback (shrinking task
+    loss -> sinking sigma -> unbounded task-gradient weight) stops at the
+    floor instead of destabilising training (isolated by deterministic
+    replay on the 4X Ctrl run — see losses/adversarial.py docstring)."""
+    losses = jnp.asarray([0.01, 0.02, 0.03])
+    deep = {"log_sigmas": jnp.asarray([-3.0, -1.25, 0.5])}
+    at_floor = {"log_sigmas": jnp.asarray([-1.25, -1.25, 0.5])}
+    v = adaptive_multitask(deep, losses, sigma_floor=-1.25)
+    np.testing.assert_allclose(
+        float(v), float(adaptive_multitask(at_floor, losses, -1.25)), rtol=1e-6
+    )
+    g = jax.grad(lambda q: adaptive_multitask(q, losses, -1.25))(deep)
+    g = np.asarray(g["log_sigmas"])
+    assert g[0] == 0.0            # floored entry: feedback severed
+    assert g[1] != 0.0 and g[2] != 0.0  # at/above the floor: still learnable
+    # sigma_floor=None restores the reference's unclamped weighting
+    # (at s=-3 the exp(-2s) term dominates, so the unclamped value is larger).
+    v_ref = adaptive_multitask(deep, losses, sigma_floor=None)
+    assert float(v_ref) > float(v)
+
+
 def test_vgg_loss_zero_for_identical_and_positive_otherwise():
     convs = init_vgg19_features(seed=0)
     rng = np.random.default_rng(2)

@@ -52,8 +52,26 @@ def adaptive_multitask_init(num_losses: int) -> dict:
     return {"log_sigmas": jnp.zeros((num_losses,), jnp.float32)}
 
 
-def adaptive_multitask(params: dict, losses: jax.Array) -> jax.Array:
+def adaptive_multitask(
+    params: dict, losses: jax.Array, sigma_floor: float = -1.25
+) -> jax.Array:
     """Kendall homoscedastic-uncertainty weighting with learnable log-sigmas
-    (loss.py:96-145): sum(0.5 * exp(-2s) * l + s)."""
+    (loss.py:96-145): sum(0.5 * exp(-2s) * l + s).
+
+    ``sigma_floor`` (documented divergence from the reference, whose
+    AdaptiveMultitaskLoss is unused by any of its scripts): log-sigmas are
+    clamped from below inside the loss.  Kendall weighting has a positive
+    feedback — as a task loss shrinks, its equilibrium s* = 0.5*ln(l)
+    sinks and the task-gradient weight exp(-2s) grows without bound, until
+    an ordinary batch destabilises the bf16 forward of a deep body.  This
+    was isolated with a deterministic replay A/B (4X Ctrl, epoch 6: stock
+    sigmas at -1.71 => grad spikes to 3e9; sigmas pinned at -1.38 => max
+    grad_norm 1.59 on the identical state+data) — see
+    ARCHITECTURE.md "Adaptive-loss runaway".  The clamp zeroes ds below
+    the floor, so weighting freezes instead of running away.  Pass
+    ``sigma_floor=None`` for the reference's unclamped behaviour.
+    """
     s = params["log_sigmas"]
+    if sigma_floor is not None:
+        s = jnp.maximum(s, sigma_floor)
     return jnp.sum(0.5 * jnp.exp(-2.0 * s) * losses + s)

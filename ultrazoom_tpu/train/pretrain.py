@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--upscaler_learning_rate", type=float, default=3e-4)
     p.add_argument("--adaptive_loss_learning_rate", type=float, default=1e-3)
     p.add_argument(
+        "--adaptive_sigma_floor", type=float, default=-1.25,
+        help="clamp the adaptive combiner's log-sigmas from below inside "
+        "the loss (stability guard against Kendall-weight runaway, "
+        "isolated by deterministic replay — see losses/adversarial.py); "
+        "pass a very negative value for the reference's unclamped "
+        "behaviour",
+    )
+    p.add_argument(
         "--loss_combiner", default="balanced",
         choices=("balanced", "adaptive", "pixel", "pixel_ssim"),
         help="balanced/adaptive follow the reference's multitask recipes; "
@@ -302,6 +310,7 @@ def main(argv=None) -> None:
             compute_dtype=compute_dtype,
             loss_combiner=args.loss_combiner,
             remat=remat,
+            adaptive_sigma_floor=args.adaptive_sigma_floor,
         )
     else:
         step_fn = make_pretrain_step(
@@ -309,6 +318,7 @@ def main(argv=None) -> None:
             remat=remat,
             compute_dtype=compute_dtype,
             loss_combiner=args.loss_combiner,
+            adaptive_sigma_floor=args.adaptive_sigma_floor,
         )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:

@@ -189,6 +189,7 @@ def make_pretrain_step(
     remat: bool = False,
     compute_dtype=None,
     loss_combiner: str = "balanced",
+    adaptive_sigma_floor: float | None = -1.25,
 ) -> Callable:
     """Stage-1 step: pixel MSE + vgg22 + vgg54 + deg MSE combined by
     BalancedMultitask (reference pretrain.py:245-267) or AdaptiveMultitask
@@ -233,7 +234,9 @@ def make_pretrain_step(
         )
         losses = jnp.stack([pixel, l22, l54, deg])
         if adaptive:
-            total = adaptive_multitask(params["loss_combiner"], losses)
+            total = adaptive_multitask(
+                params["loss_combiner"], losses, adaptive_sigma_floor
+            )
         else:
             total = balanced_multitask(losses)
         aux = {
@@ -264,6 +267,7 @@ def make_ctrl_pretrain_step(
     compute_dtype=None,
     loss_combiner: str = "balanced",
     remat: bool = False,
+    adaptive_sigma_floor: float | None = -1.25,
 ) -> Callable:
     """Stage-1 step for the controllable 0.1.x/0.2.x architecture
     (models/ctrl.py — the family of every published HF checkpoint).
@@ -315,7 +319,9 @@ def make_ctrl_pretrain_step(
         )
         losses = jnp.stack([pixel, l22, l54])
         if adaptive:
-            total = adaptive_multitask(params["loss_combiner"], losses)
+            total = adaptive_multitask(
+                params["loss_combiner"], losses, adaptive_sigma_floor
+            )
         else:
             total = balanced_multitask(losses)
         return total, {
