@@ -23,9 +23,11 @@ reference implementation:
      produces a real .onnx artifact even in this air-gapped image,
   4. structural gate via our pure-python proto reader
      (convert/onnx_reader.py): opset/input/initializer checks — always;
-     numeric parity gate ``assert_allclose(rtol=1e-2, atol=1e-3)`` through
-     an ONNX Runtime CPU session (cell-11's tolerance) when onnxruntime
-     is installed.
+     numeric parity gate ``assert_allclose(rtol=1e-2, atol=1e-3)``
+     (cell-11's tolerance) through an ONNX Runtime CPU session when
+     onnxruntime is installed, else by EXECUTING the serialized graph
+     with the pure-numpy evaluator (convert/onnx_eval.py) — the artifact
+     is numerically validated either way.
 
 Usage::
 
@@ -223,24 +225,32 @@ def export_onnx(
     )
 
     if check:
-        try:
-            import onnxruntime
-        except ImportError:
-            print(
-                "onnxruntime not installed — skipping the parity gate "
-                "(pip install onnxruntime to enable)."
-            )
-            return str(out_path)
         from numpy.testing import assert_allclose
 
         with torch.inference_mode():
             want = model.upscale(*args).numpy()
-        session = onnxruntime.InferenceSession(
-            str(out_path), providers=["CPUExecutionProvider"]
-        )
         feeds = {"x": x.numpy()}
         if two_inputs:
             feeds["c"] = c.numpy()
+        try:
+            import onnxruntime
+        except ImportError:
+            # No ORT in this image: EXECUTE the serialized graph with the
+            # pure-numpy evaluator (convert/onnx_eval.py) under the same
+            # cell-11 tolerance, so the artifact is still numerically
+            # validated, not just structurally parsed.
+            from ultrazoom_tpu.convert.onnx_eval import load_onnx_graph, run_onnx
+
+            got = run_onnx(load_onnx_graph(out_path), feeds)[0]
+            assert_allclose(want, got, rtol=1e-2, atol=1e-3)
+            print(
+                "ONNX parity gate passed via the numpy evaluator "
+                "(rtol=1e-2, atol=1e-3; onnxruntime not installed)."
+            )
+            return str(out_path)
+        session = onnxruntime.InferenceSession(
+            str(out_path), providers=["CPUExecutionProvider"]
+        )
         got = session.run(None, feeds)[0]
         assert_allclose(want, got, rtol=1e-2, atol=1e-3)
         print("ONNX parity gate passed (rtol=1e-2, atol=1e-3).")
