@@ -46,31 +46,31 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
   done ;;
 
 4x) # published-checkpoint 4X preset: 96ch / 40-layer Ctrl body (13.4M)
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --loss_combiner adaptive --num_epochs 100 --remat_policy hidden \
     --checkpoint_path $CKPT/r3_4x_s1 --run_dir_path runs/r3_4x_s1 --seed 300
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --loss_combiner pixel_ssim --num_epochs 30 --upscaler_learning_rate 5e-5 \
     --remat_policy hidden --init_params_from $CKPT/r3_4x_s1 \
     --checkpoint_path $CKPT/r3_4x_polish --run_dir_path runs/r3_4x_polish \
     --seed 310
-  python -m ultrazoom_tpu.train.finetune --base_checkpoint_path $CKPT/r3_4x_polish \
+  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_4x_polish \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --critic_model_size small --num_epochs 10 \
     --checkpoint_path $CKPT/r3_4x_gan --run_dir_path runs/r3_4x_gan --seed 320 ;;
 
 3x) # 3X preset: 54ch / 30-layer (3.2M); 252 targets (divisible by 3)
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
     --loss_combiner balanced --num_epochs 100 \
     --checkpoint_path $CKPT/r3_3x_s1 --run_dir_path runs/r3_3x_s1 --seed 300
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
@@ -78,38 +78,38 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --init_params_from $CKPT/r3_3x_s1 \
     --checkpoint_path $CKPT/r3_3x_polish --run_dir_path runs/r3_3x_polish \
     --seed 310
-  python -m ultrazoom_tpu.train.finetune --base_checkpoint_path $CKPT/r3_3x_polish \
+  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_3x_polish \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
     --critic_model_size small --num_epochs 10 \
     --checkpoint_path $CKPT/r3_3x_gan --run_dir_path runs/r3_3x_gan --seed 320 ;;
 
 2x) # 2X preset: 48ch / 20-layer (1.7M)
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --num_epochs 100 \
     --checkpoint_path $CKPT/r3_2x_s1 --run_dir_path runs/r3_2x_s1 --seed 300
-  python -m ultrazoom_tpu.train.pretrain --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel --num_epochs 30 --upscaler_learning_rate 5e-5 \
     --init_params_from $CKPT/r3_2x_s1 \
     --checkpoint_path $CKPT/r3_2x_polish --run_dir_path runs/r3_2x_polish \
     --seed 310
-  python -m ultrazoom_tpu.train.finetune --base_checkpoint_path $CKPT/r3_2x_polish \
+  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_2x_polish \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --critic_model_size small --num_epochs 10 \
     --checkpoint_path $CKPT/r3_2x_gan --run_dir_path runs/r3_2x_gan --seed 320 ;;
 
 unet) # 0.3.0 flagship (56M), 2X.  The round-2 NaN-file soak: no
       # --debug_nans; the spike/NaN rewind guard (default-on) is the net.
-  python -m ultrazoom_tpu.train.pretrain --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --num_epochs 60 --activation_checkpointing \
     --checkpoint_path $CKPT/r3_unet_s1 --run_dir_path runs/r3_unet_s1 \
     --seed 300
-  python -m ultrazoom_tpu.train.pretrain --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel --num_epochs 30 --upscaler_learning_rate 5e-5 \
     --activation_checkpointing --init_params_from $CKPT/r3_unet_s1 \

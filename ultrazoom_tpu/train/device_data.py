@@ -33,6 +33,7 @@ SURVEY.md section 2.9): two placements keep the fast path alive on a
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Iterator
 
@@ -51,7 +52,13 @@ __all__ = [
 ]
 
 # Keep well under HBM: data + params + optimizer + activations must coexist.
-DEVICE_DATA_BUDGET = 4 << 30
+# Overridable because the right number is workload-dependent (a 1.7M Ctrl
+# model at batch 32 leaves ~3x more headroom than the 56M U-Net): env var
+# ULTRAZOOM_DEVICE_DATA_BUDGET_GIB, or the trainers'
+# --device_data_budget_gib flag.
+DEVICE_DATA_BUDGET = int(
+    float(os.environ.get("ULTRAZOOM_DEVICE_DATA_BUDGET_GIB", "4")) * (1 << 30)
+)
 
 
 def cache_nbytes(ds) -> int:
@@ -60,7 +67,7 @@ def cache_nbytes(ds) -> int:
 
 
 def plan_device_data(
-    ds, mesh: Mesh | None, batch_size: int, budget: int = DEVICE_DATA_BUDGET
+    ds, mesh: Mesh | None, batch_size: int, budget: int | None = None
 ) -> str | None:
     """Pick a device-resident placement for a cached dataset, or None if it
     must stay host-side.
@@ -69,6 +76,8 @@ def plan_device_data(
     mesh every device holds a copy — gather stays local), "sharded" when it
     only fits in aggregate and the shapes divide the mesh, else None.
     """
+    if budget is None:
+        budget = DEVICE_DATA_BUDGET
     nbytes = cache_nbytes(ds)
     if nbytes <= budget:
         return "replicated"

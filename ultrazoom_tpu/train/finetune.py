@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="fault injection for guard testing: NaN-poison the generator "
         "params once at the start of this epoch",
     )
+    p.add_argument(
+        "--device_data_budget_gib", type=float, default=None,
+        help="HBM budget for the device-resident sample cache (default: "
+        "ULTRAZOOM_DEVICE_DATA_BUDGET_GIB env var, else 4.0); a cache over "
+        "budget falls back to the host loader",
+    )
     return p
 
 
@@ -258,7 +264,11 @@ def main(argv=None) -> None:
 
     device_data = None
     data_mode = (
-        plan_device_data(train_ds, mesh, args.batch_size)
+        plan_device_data(
+            train_ds, mesh, args.batch_size,
+            budget=None if args.device_data_budget_gib is None
+            else int(args.device_data_budget_gib * (1 << 30)),
+        )
         if isinstance(train_ds, CachedImageFolder)
         else None
     )
