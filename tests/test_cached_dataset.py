@@ -303,3 +303,62 @@ def test_device_resident_mesh_modes(live_ds, tmp_path):
                   {"x": ds._x, "y": ds._y, "y_deg": ds._deg}.items()}
     _, m_h = jax.jit(step_fn)(fresh(), host_batch)
     np.testing.assert_allclose(float(m_s["loss"]), float(m_h["loss"]), rtol=1e-5)
+
+
+def test_cache_max_samples_subset(live_ds, tmp_path):
+    """max_samples head-slices the variant-major cache: every source image
+    is kept, whole degradation variants are dropped, content bit-equal to
+    the unsliced head."""
+    from ultrazoom_tpu.data import CachedImageFolder, build_sample_cache
+
+    build_sample_cache(live_ds, tmp_path / "c", num_variants=4, seed=0)
+    full = CachedImageFolder(tmp_path / "c")       # 3 images x 4 = 12
+    sub = CachedImageFolder(tmp_path / "c", max_samples=6)
+    assert len(full) == 12 and len(sub) == 6
+    for i in range(6):
+        np.testing.assert_array_equal(sub[i]["x"], full[i]["x"])
+        np.testing.assert_array_equal(sub[i]["y"], full[i]["y"])
+    # A cap >= the cache is a no-op.
+    assert len(CachedImageFolder(tmp_path / "c", max_samples=99)) == 12
+
+
+def test_pretrain_cli_early_stop(image_dir, tmp_path):
+    """--early_stop_patience ends the run at the eval-PSNR plateau and
+    still writes a final checkpoint off the checkpoint_interval grid;
+    --max_train_samples caps the cache the trainer sees."""
+    from ultrazoom_tpu.tools.cache_dataset import main as cache_main
+    from ultrazoom_tpu.train.pretrain import main as pt_main
+
+    cache_main([
+        "--images_path", str(image_dir),
+        "--out", str(tmp_path / "trainc"),
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--num_variants", "3", "--num_dataset_processes", "2",
+    ])
+    cache_main([
+        "--images_path", str(image_dir),
+        "--out", str(tmp_path / "testc"),
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--eval", "--num_dataset_processes", "2",
+    ])
+
+    ckpt = tmp_path / "ck"
+    pt_main([
+        "--train_images_path", str(tmp_path / "trainc"),
+        "--test_images_path", str(tmp_path / "testc"),
+        "--arch", "ctrl", "--num_channels", "8", "--num_encoder_layers", "2",
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--max_train_samples", "6",
+        "--num_epochs", "8", "--eval_interval", "1",
+        # An impossible min_delta makes every eval after the first stale,
+        # so patience 1 stops the run at epoch 2 (of 8).
+        "--early_stop_patience", "1", "--early_stop_min_delta", "1e9",
+        "--checkpoint_interval", "5",
+        "--checkpoint_path", str(ckpt),
+        "--run_dir_path", str(tmp_path / "runs"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ])
+    meta = json.loads((ckpt / "meta.json").read_text())
+    assert meta["epoch"] == 2  # early-stopped + off-grid final save

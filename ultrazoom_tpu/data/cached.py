@@ -187,7 +187,7 @@ class CachedImageFolder:
     for the live-``ImageFolder``-compatible float contract.
     """
 
-    def __init__(self, cache_dir, dtype: str = "uint8"):
+    def __init__(self, cache_dir, dtype: str = "uint8", max_samples: int | None = None):
         assert dtype in ("uint8", "float32")
         self.root = pathlib.Path(cache_dir)
         self.dtype = dtype
@@ -196,6 +196,14 @@ class CachedImageFolder:
         self._y = np.load(self.root / "y.npy", mmap_mode="r")
         self._deg = np.load(self.root / "y_deg.npy", mmap_mode="r")
         assert self._x.shape[0] == self._y.shape[0] == self._deg.shape[0]
+        if max_samples is not None and max_samples < self._x.shape[0]:
+            # Caches are variant-major (build_sample_cache: flat = v *
+            # n_images + i), so a head slice keeps every source image and
+            # drops whole degradation variants — the right subset when the
+            # full cache would not fit the device-data HBM budget.
+            self._x = self._x[:max_samples]
+            self._y = self._y[:max_samples]
+            self._deg = self._deg[:max_samples]
 
     def __len__(self) -> int:
         return int(self._x.shape[0])

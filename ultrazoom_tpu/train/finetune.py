@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
         "ULTRAZOOM_DEVICE_DATA_BUDGET_GIB env var, else 4.0); a cache over "
         "budget falls back to the host loader",
     )
+    p.add_argument(
+        "--max_train_samples", type=int, default=None,
+        help="train on only the first N samples of a sample cache (caches "
+        "are variant-major, so this keeps every source image); use to fit "
+        "the device-data HBM budget alongside a large model",
+    )
     return p
 
 
@@ -225,7 +231,9 @@ def main(argv=None) -> None:
     )
 
     if is_sample_cache(args.train_images_path):
-        train_ds = CachedImageFolder(args.train_images_path)
+        train_ds = CachedImageFolder(
+            args.train_images_path, max_samples=args.max_train_samples
+        )
         assert_cache_matches(
             train_ds.meta, args.target_resolution, cfg.upscale_ratio, deg, aug
         )

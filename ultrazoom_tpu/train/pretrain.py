@@ -160,6 +160,23 @@ def build_parser() -> argparse.ArgumentParser:
         "ULTRAZOOM_DEVICE_DATA_BUDGET_GIB env var, else 4.0); a cache over "
         "budget falls back to the host loader",
     )
+    p.add_argument(
+        "--early_stop_patience", type=int, default=None,
+        help="stop when eval PSNR has not improved by --early_stop_min_delta "
+        "for this many consecutive evals (the reference trains a fixed epoch "
+        "count, /root/reference/pretrain.py:233; large-corpus runs plateau "
+        "well before it)",
+    )
+    p.add_argument(
+        "--early_stop_min_delta", type=float, default=0.01,
+        help="dB of eval-PSNR improvement that resets the patience counter",
+    )
+    p.add_argument(
+        "--max_train_samples", type=int, default=None,
+        help="train on only the first N samples of a sample cache (caches "
+        "are variant-major, so this keeps every source image); use to fit "
+        "the device-data HBM budget alongside a large model",
+    )
     return p
 
 
@@ -219,7 +236,9 @@ def main(argv=None) -> None:
     )
 
     if is_sample_cache(args.train_images_path):
-        train_ds = CachedImageFolder(args.train_images_path)
+        train_ds = CachedImageFolder(
+            args.train_images_path, max_samples=args.max_train_samples
+        )
         assert_cache_matches(
             train_ds.meta, args.target_resolution, args.upscale_ratio, deg, aug
         )
@@ -396,6 +415,8 @@ def main(argv=None) -> None:
         if _latest_meta(args.checkpoint_path) is None:
             checkpointer.save(args.checkpoint_path, state, {"epoch": 0, **base_meta})
     injected = False
+    best_psnr = -float("inf")
+    stale_evals = 0
 
     epoch = start_epoch
     while epoch <= args.num_epochs:
@@ -515,11 +536,29 @@ def main(argv=None) -> None:
                     f"Eval {epoch}: PSNR {ps_s / m:.3f} (bicubic {bps_s / m:.3f}), "
                     f"SSIM {ss_s / m:.4f}, VIF {vf_s / m:.4f}"
                 )
+                if ps_s / m > best_psnr + args.early_stop_min_delta:
+                    best_psnr = ps_s / m
+                    stale_evals = 0
+                else:
+                    stale_evals += 1
 
         if epoch % args.checkpoint_interval == 0:
             checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
             last_saved_epoch = epoch
             print(f"Checkpoint save started at epoch {epoch} (async).")
+        if (
+            args.early_stop_patience is not None
+            and stale_evals >= args.early_stop_patience
+        ):
+            print(
+                f"Early stop at epoch {epoch}: eval PSNR stale for "
+                f"{stale_evals} evals (best {best_psnr:.3f} dB)."
+            )
+            if epoch % args.checkpoint_interval != 0:
+                checkpointer.save(
+                    args.checkpoint_path, state, {"epoch": epoch, **base_meta}
+                )
+            break
         epoch += 1
 
     checkpointer.wait()
