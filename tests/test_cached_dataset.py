@@ -320,6 +320,9 @@ def test_cache_max_samples_subset(live_ds, tmp_path):
         np.testing.assert_array_equal(sub[i]["y"], full[i]["y"])
     # A cap >= the cache is a no-op.
     assert len(CachedImageFolder(tmp_path / "c", max_samples=99)) == 12
+    # A cap below the image count drops source images -> warns.
+    with pytest.warns(UserWarning, match="source images"):
+        CachedImageFolder(tmp_path / "c", max_samples=2)
 
 
 def test_pretrain_cli_early_stop(image_dir, tmp_path):

@@ -180,3 +180,31 @@ def test_pretrain_rewinds_after_injected_nan(ctrl_cache, tmp_path):
     assert any(not math.isfinite(v) for v in entry["means"].values())
     # The injection is one-shot, so the deterministic replay runs clean.
     assert entry["replay"] == {"reproduced": False, "epoch": 3}
+
+
+def test_handle_trip_heals_after_healthy_stretch(tmp_path):
+    """max_rewinds bounds CONSECUTIVE failures: a trip more than heal_after
+    epochs after the previous one resets the budget, so sporadic transients
+    never exhaust a long soak; back-to-back trips still fail loudly."""
+    import jax.numpy as jnp
+
+    from ultrazoom_tpu.utils import AsyncCheckpointer
+
+    ck = AsyncCheckpointer()
+    state = {"w": jnp.zeros(3)}
+    ck.save(str(tmp_path), state, {"epoch": 5})
+    ck.wait()
+    bad = {"loss": float("nan")}
+
+    guard = NanRewindGuard(str(tmp_path), max_rewinds=1, heal_after=3)
+    s, e = guard.handle_trip(ck, state, 6, bad)
+    assert e == 6 and guard.rewinds == 1
+    # 20 - 6 > heal_after: the budget resets before being spent again.
+    s, e = guard.handle_trip(ck, state, 20, bad)
+    assert e == 6 and guard.rewinds == 1
+
+    # Consecutive trips (within heal_after) still exhaust.
+    guard2 = NanRewindGuard(str(tmp_path), max_rewinds=1, heal_after=3)
+    guard2.handle_trip(ck, state, 6, bad)
+    with pytest.raises(RuntimeError, match="rewinds exhausted"):
+        guard2.handle_trip(ck, state, 7, bad)

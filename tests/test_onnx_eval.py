@@ -141,3 +141,73 @@ def test_grouped_conv_kernel_matches_torch():
             stride=stride, dilation=dil, groups=group,
         ).numpy()
         np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
+
+
+# ---- wire-level decode + op-semantics regressions (no torch needed) ----
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        out += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            return out
+
+
+def _tensor_proto(data_type: int, dims, *, int32_data=None, raw=None) -> bytes:
+    """Hand-encoded TensorProto: dims (field 1), data_type (2), packed
+    int32_data (5) or raw_data (9)."""
+    buf = b""
+    for d in dims:
+        buf += bytes([0x08]) + _varint(d)
+    buf += bytes([0x10]) + _varint(data_type)
+    if int32_data is not None:
+        payload = b"".join(_varint(v) for v in int32_data)
+        buf += bytes([0x2A]) + _varint(len(payload)) + payload
+    if raw is not None:
+        buf += bytes([0x4A]) + _varint(len(raw)) + raw
+    return buf
+
+
+def test_fp16_typed_storage_is_bitcast():
+    """float16 values in int32_data are BIT PATTERNS (onnx.proto), not
+    values: 15360 == 0x3C00 == fp16 1.0."""
+    from ultrazoom_tpu.convert.onnx_eval import _tensor_value
+
+    arr = _tensor_value(_tensor_proto(10, [2], int32_data=[15360, 16384]))
+    np.testing.assert_array_equal(arr.astype(np.float32), [1.0, 2.0])
+    # raw_data path: same bits, little-endian uint16.
+    arr2 = _tensor_value(
+        _tensor_proto(10, [2], raw=np.array([15360, 16384], "<u2").tobytes())
+    )
+    np.testing.assert_array_equal(arr2.astype(np.float32), [1.0, 2.0])
+
+
+def test_bfloat16_decodes_via_bit_widening():
+    """bfloat16 (data_type 16) has no numpy dtype: the uint16 pattern is
+    the top half of a float32.  0x3F80 -> 1.0, 0xC000 -> -2.0."""
+    from ultrazoom_tpu.convert.onnx_eval import _tensor_value
+
+    arr = _tensor_value(_tensor_proto(16, [2], int32_data=[0x3F80, 0xC000]))
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, [1.0, -2.0])
+    arr2 = _tensor_value(
+        _tensor_proto(16, [2], raw=np.array([0x3F80, 0xC000], "<u2").tobytes())
+    )
+    np.testing.assert_array_equal(arr2, [1.0, -2.0])
+
+
+def test_integer_div_truncates_toward_zero():
+    """ONNX Div on ints is C-style truncation: -7/2 == -3 (numpy // floors
+    to -4)."""
+    from ultrazoom_tpu.convert.onnx_eval import _int_aware_div
+
+    np.testing.assert_array_equal(
+        _int_aware_div(np.int64(-7), np.int64(2)), -3
+    )
+    np.testing.assert_array_equal(
+        _int_aware_div(np.array([-7, 7, -8]), np.array([2, 2, 4])),
+        [-3, 3, -2],
+    )
+    assert _int_aware_div(np.float32(-7), np.float32(2)) == pytest.approx(-3.5)

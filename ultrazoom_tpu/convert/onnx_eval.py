@@ -33,11 +33,19 @@ from ultrazoom_tpu.convert.onnx_reader import (
 __all__ = ["OnnxGraph", "load_onnx_graph", "run_onnx"]
 
 # TensorProto.DataType -> numpy dtype (the subset exporters emit).
+# bfloat16 (16) decodes via its uint16 bit pattern widened to float32 —
+# numpy has no native bfloat16 (see _tensor_value).
 _DTYPES = {
     1: np.float32, 2: np.uint8, 3: np.int8, 5: np.int16, 6: np.int32,
     7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
     12: np.uint32, 13: np.uint64,
 }
+_BFLOAT16 = 16
+# Typed (non-raw) storage keeps sub-32-bit floats as BIT PATTERNS in
+# int32_data (onnx.proto: "float16/bfloat16 values must be bit-wise
+# converted to an uint16_t prior to writing"), so a value cast would turn
+# the bits 15360 (fp16 1.0) into the float 15360.0.
+_BITCAST_FROM_UINT16 = {10, _BFLOAT16}
 
 
 def _signed(v: int, bits: int = 64) -> int:
@@ -73,6 +81,15 @@ def _tensor_value(buf: bytes) -> np.ndarray:
                 doubles.append(struct.unpack("<d", struct.pack("<q", val))[0])
         elif field == 9:  # raw_data
             raw = val
+    if dtype == _BFLOAT16:
+        # No numpy bfloat16: widen the uint16 bit pattern into float32
+        # (bf16 is the top half of an f32).
+        if raw is not None:
+            bits = np.frombuffer(raw, np.uint16)
+        else:
+            bits = np.asarray(ints, np.uint16)
+        arr = (bits.astype(np.uint32) << 16).view(np.float32)
+        return arr.reshape(dims)
     np_dtype = _DTYPES[dtype]
     if raw is not None:
         arr = np.frombuffer(raw, np_dtype)
@@ -81,7 +98,10 @@ def _tensor_value(buf: bytes) -> np.ndarray:
     elif doubles:
         arr = np.asarray(doubles, np.float64)
     elif ints:
-        arr = np.asarray(ints).astype(np_dtype)
+        if dtype in _BITCAST_FROM_UINT16:
+            arr = np.asarray(ints, np.uint16).view(np_dtype)  # fp16 bits
+        else:
+            arr = np.asarray(ints).astype(np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
     return arr.reshape(dims).astype(np_dtype, copy=False)
@@ -327,8 +347,11 @@ def _int_aware_div(a, b):
     if np.issubdtype(np.asarray(a).dtype, np.integer) and np.issubdtype(
         np.asarray(b).dtype, np.integer
     ):
-        # ONNX integer Div truncates toward zero (C semantics).
-        return (np.asarray(a) // np.asarray(b)).astype(np.asarray(a).dtype)
+        # ONNX integer Div truncates toward zero (C semantics); numpy //
+        # floors, which differs on mixed-sign operands (-7 // 2 == -4 but
+        # ORT yields -3).
+        a, b = np.asarray(a), np.asarray(b)
+        return np.trunc(a / b).astype(a.dtype)
     return np.asarray(a) / np.asarray(b)
 
 
@@ -391,7 +414,10 @@ def run_onnx(graph: OnnxGraph, feeds: dict) -> list[np.ndarray]:
                 y = np.expand_dims(y, ax)
         elif op == "Squeeze":
             axes = x[1] if len(x) > 1 else np.asarray(at.get("axes", []))
-            y = np.squeeze(x[0], tuple(int(v) for v in np.atleast_1d(axes)))
+            axes = tuple(int(v) for v in np.atleast_1d(axes))
+            # No axes given means "drop every unit dim" per the ONNX spec
+            # (np.squeeze(x, ()) would squeeze nothing).
+            y = np.squeeze(x[0], axes or None)
         elif op == "Reshape":
             y = x[0].reshape([int(v) for v in x[1]])
         elif op == "Transpose":

@@ -198,9 +198,23 @@ class CachedImageFolder:
         assert self._x.shape[0] == self._y.shape[0] == self._deg.shape[0]
         if max_samples is not None and max_samples < self._x.shape[0]:
             # Caches are variant-major (build_sample_cache: flat = v *
-            # n_images + i), so a head slice keeps every source image and
-            # drops whole degradation variants — the right subset when the
-            # full cache would not fit the device-data HBM budget.
+            # n_images + i), so a head slice of >= n_images keeps every
+            # source image and drops (possibly partial) degradation
+            # variants — the right subset when the full cache would not fit
+            # the device-data HBM budget.  A cap below n_images silently
+            # loses source images, which is almost never intended — warn.
+            n_images = int(self.meta.get("n_images", 0))
+            if 0 < max_samples < n_images:
+                import warnings
+
+                warnings.warn(
+                    f"max_samples={max_samples} is below the cache's "
+                    f"n_images={n_images}: {n_images - max_samples} source "
+                    "images will never be seen. Caches are variant-major; "
+                    "use max_samples >= n_images to keep full image "
+                    "coverage.",
+                    stacklevel=2,
+                )
             self._x = self._x[:max_samples]
             self._y = self._y[:max_samples]
             self._deg = self._deg[:max_samples]

@@ -49,6 +49,8 @@ def dispatch_batched(
     exactly 1, ``large``, or a multiple of ``large`` go straight through.
     """
     b = x.shape[0]
+    if b == 0:
+        raise ValueError("dispatch_batched: empty batch")
     if b == 1 or b == large:
         return fn(x, *args)
 

@@ -177,7 +177,19 @@ def export_onnx(
         # C++, so it works WITHOUT the python `onnx` package — the only
         # python-side onnx use is _add_onnxscript_fn, a no-op unless the
         # graph contains custom onnxscript functions (ours never does).
-        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+        # The module path is torch-version-specific (2.13 here); fail with
+        # a pointer rather than a bare AttributeError on other versions.
+        try:
+            from torch.onnx._internal.torchscript_exporter import (
+                onnx_proto_utils,
+            )
+        except ImportError as e:  # pragma: no cover - other torch versions
+            raise RuntimeError(
+                "No python `onnx` package and this torch version does not "
+                "expose torch.onnx._internal.torchscript_exporter (the "
+                "no-onnx export shim targets torch 2.13). Install `onnx` "
+                "or adjust the shim for this torch."
+            ) from e
 
         orig = onnx_proto_utils._add_onnxscript_fn
         onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _ops: model_bytes

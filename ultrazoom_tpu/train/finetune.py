@@ -116,9 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--max_train_samples", type=int, default=None,
-        help="train on only the first N samples of a sample cache (caches "
-        "are variant-major, so this keeps every source image); use to fit "
-        "the device-data HBM budget alongside a large model",
+        help="train on only the first N samples of a sample cache; caches "
+        "are variant-major, so any N >= the cache's image count keeps "
+        "every source image (a smaller N warns). Use to fit the "
+        "device-data HBM budget alongside a large model",
     )
     return p
 
@@ -309,7 +310,7 @@ def main(argv=None) -> None:
 
     # NaN checkpoint-and-rewind guard (train/guard.py); epoch-0 checkpoint
     # guarantees a rewind target.
-    from ultrazoom_tpu.train.guard import NanRewindGuard, poison_params, replay_epochs
+    from ultrazoom_tpu.train.guard import NanRewindGuard, poison_params
 
     base_meta = {
         "upscaler_args": cfg.to_dict(),
@@ -355,36 +356,22 @@ def main(argv=None) -> None:
         means = {k: float(v) / n for k, v in sums.items()}
 
         if guard is not None and guard.tripped(means, args.spike_threshold):
-            print(f"Epoch {epoch}: NON-FINITE/SPIKED metrics {means} — NaN guard engaged.")
-            checkpointer.wait()
-            diagnosis = None
-            if device_data is not None:
-                from ultrazoom_tpu.utils import restore_state as _restore
-
-                ck_state, ck_meta = _restore(args.checkpoint_path, state)
-                print(
-                    f"Replaying epochs {ck_meta['epoch'] + 1}..{epoch} from "
-                    "the last checkpoint to test reproducibility..."
-                )
-                diagnosis = replay_epochs(
+            state, epoch = guard.handle_trip(
+                checkpointer, state, epoch, means,
+                replay_step=(
                     # warmup must match what each replayed epoch used.
-                    lambda s, idx, e: gather_step(
+                    (lambda s, idx, e: gather_step(
                         s, device_data, idx, e <= args.critic_warmup_epochs,
-                    ),
-                    lambda e: epoch_batch_indices(
-                        len(train_ds), args.batch_size, data_seed, e - 1,
-                        n_shards=n_shards,
-                    ),
-                    ck_state,
-                    int(ck_meta["epoch"]) + 1,
-                    epoch,
-                    loss_key="critic_bce",
-                    spike_threshold=args.spike_threshold,
-                )
-                print(f"Replay diagnosis: {diagnosis}")
-            guard.record(epoch, means, diagnosis)
-            state, epoch = guard.rewind(checkpointer, state)
-            print(f"Rewound to epoch {epoch} (rewind #{guard.rewinds}).")
+                    ))
+                    if device_data is not None else None
+                ),
+                index_batches_for_epoch=lambda e: epoch_batch_indices(
+                    len(train_ds), args.batch_size, data_seed, e - 1,
+                    n_shards=n_shards,
+                ),
+                loss_key="critic_bce",
+                spike_threshold=args.spike_threshold,
+            )
             continue
 
         for k, v in means.items():

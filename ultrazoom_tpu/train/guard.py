@@ -57,10 +57,20 @@ class NanRewindGuard:
     bounds the loop: a deterministic NaN exhausts it and raises.
     """
 
-    def __init__(self, checkpoint_path: str, max_rewinds: int = 3):
+    def __init__(
+        self, checkpoint_path: str, max_rewinds: int = 3, heal_after: int = 8
+    ):
         self.checkpoint_path = pathlib.Path(checkpoint_path)
         self.max_rewinds = max_rewinds
         self.rewinds = 0
+        # ``max_rewinds`` bounds CONSECUTIVE failures, not run-lifetime ones:
+        # a trip more than ``heal_after`` epochs after the previous trip
+        # resets the budget (sporadic transients with healthy stretches in
+        # between — the guard's raison d'être — must not exhaust it on a
+        # long soak; a deterministic NaN re-trips within a couple of epochs
+        # every time and still fails loudly).
+        self.heal_after = heal_after
+        self.last_trip_epoch: int | None = None
 
     @staticmethod
     def tripped(means: dict[str, float], spike_threshold: float = 0.0) -> bool:
@@ -85,20 +95,87 @@ class NanRewindGuard:
 
         Waits for in-flight async saves first so the restored checkpoint is
         the newest complete one.  Raises ``RuntimeError`` after
-        ``max_rewinds`` consecutive failures.
+        ``max_rewinds`` consecutive failures (see ``heal_after``).
         """
         from ultrazoom_tpu.utils import restore_state
 
-        self.rewinds += 1
-        if self.rewinds > self.max_rewinds:
-            raise RuntimeError(
-                f"NaN guard: {self.rewinds - 1} rewinds exhausted — the "
-                "non-finite loss reproduces across rewinds and data "
-                f"reorders; see {self.checkpoint_path / 'nan_diagnosis.jsonl'}"
-            )
+        self._spend_rewind()
         checkpointer.wait()
         state, meta = restore_state(str(self.checkpoint_path), state_template)
         return state, int(meta["epoch"]) + 1
+
+    def _spend_rewind(self) -> None:
+        self.rewinds += 1
+        if self.rewinds > self.max_rewinds:
+            raise RuntimeError(
+                f"NaN guard: {self.rewinds - 1} consecutive rewinds "
+                "exhausted — the non-finite loss reproduces across rewinds "
+                "and data reorders; see "
+                f"{self.checkpoint_path / 'nan_diagnosis.jsonl'}"
+            )
+
+    def handle_trip(
+        self,
+        checkpointer,
+        state,
+        epoch: int,
+        means: dict,
+        *,
+        replay_step: Callable | None = None,
+        index_batches_for_epoch: Callable[[int], Iterable] | None = None,
+        loss_key: str = "loss",
+        spike_threshold: float = 0.0,
+    ) -> tuple[Any, int]:
+        """One-stop trip handler for the trainers: wait out async saves,
+        restore the last checkpoint ONCE, optionally replay the poisoned
+        span from an on-device copy (device-resident data only — pass
+        ``replay_step``/``index_batches_for_epoch``), record the diagnosis,
+        and rewind.  Returns ``(state, resume_epoch)``.
+
+        The replay runs on ``jnp.copy`` of the restored state because the
+        trainers' gather steps donate their state argument — replaying on
+        the restored pytree itself would invalidate the very buffers the
+        rewind is about to resume from (the reason the trainers previously
+        paid two full disk restores + uploads per trip).
+        """
+        print(
+            f"Epoch {epoch}: NON-FINITE/SPIKED metrics {means} — NaN guard "
+            "engaged."
+        )
+        checkpointer.wait()
+        if self.last_trip_epoch is not None and (
+            epoch - self.last_trip_epoch > self.heal_after
+        ):
+            self.rewinds = 0  # healthy stretch since the last trip
+        self.last_trip_epoch = epoch
+
+        from ultrazoom_tpu.utils import restore_state
+
+        ck_state, ck_meta = restore_state(str(self.checkpoint_path), state)
+        diagnosis = None
+        if replay_step is not None:
+            import jax
+            import jax.numpy as jnp
+
+            print(
+                f"Replaying epochs {int(ck_meta['epoch']) + 1}..{epoch} from "
+                "the last checkpoint to test reproducibility..."
+            )
+            diagnosis = replay_epochs(
+                replay_step,
+                index_batches_for_epoch,
+                jax.tree.map(jnp.copy, ck_state),
+                int(ck_meta["epoch"]) + 1,
+                epoch,
+                loss_key=loss_key,
+                spike_threshold=spike_threshold,
+            )
+            print(f"Replay diagnosis: {diagnosis}")
+        self.record(epoch, means, diagnosis)
+        self._spend_rewind()
+        resume = int(ck_meta["epoch"]) + 1
+        print(f"Rewound to epoch {resume} (rewind #{self.rewinds}).")
+        return ck_state, resume
 
     def seed_offset(self) -> int:
         """Data-order perturbation for the current rewind generation."""

@@ -173,9 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--max_train_samples", type=int, default=None,
-        help="train on only the first N samples of a sample cache (caches "
-        "are variant-major, so this keeps every source image); use to fit "
-        "the device-data HBM budget alongside a large model",
+        help="train on only the first N samples of a sample cache; caches "
+        "are variant-major, so any N >= the cache's image count keeps "
+        "every source image (a smaller N warns). Use to fit the "
+        "device-data HBM budget alongside a large model",
     )
     return p
 
@@ -399,7 +400,7 @@ def main(argv=None) -> None:
 
     # NaN checkpoint-and-rewind guard (train/guard.py).  An initial epoch-0
     # checkpoint guarantees there is always a rewind target.
-    from ultrazoom_tpu.train.guard import NanRewindGuard, poison_params, replay_epochs
+    from ultrazoom_tpu.train.guard import NanRewindGuard, poison_params
 
     base_meta = {
         "upscaler_args": cfg.to_dict(),
@@ -456,36 +457,25 @@ def main(argv=None) -> None:
         means = {k: float(v) / n for k, v in sums.items()}
 
         if guard is not None and guard.tripped(means, args.spike_threshold):
-            print(f"Epoch {epoch}: NON-FINITE/SPIKED metrics {means} — NaN guard engaged.")
-            checkpointer.wait()
-            diagnosis = None
-            if device_data is not None:
-                # Deterministic replay from the last checkpoint: reproduced
-                # => real code bug (diagnosis pinpoints step + batch);
-                # not reproduced => transient, substantiated.
-                from ultrazoom_tpu.utils import restore_state as _restore
-
-                ck_state, ck_meta = _restore(args.checkpoint_path, state)
-                print(
-                    f"Replaying epochs {ck_meta['epoch'] + 1}..{epoch} from "
-                    "the last checkpoint to test reproducibility..."
-                )
-                diagnosis = replay_epochs(
-                    lambda s, idx, e: gather_step(s, device_data, idx),
-                    lambda e: epoch_batch_indices(
-                        len(train_ds), args.batch_size, data_seed, e - 1,
-                        n_shards=n_shards,
-                    ),
-                    ck_state,
-                    int(ck_meta["epoch"]) + 1,
-                    epoch,
-                    loss_key="loss",
-                    spike_threshold=args.spike_threshold,
-                )
-                print(f"Replay diagnosis: {diagnosis}")
-            guard.record(epoch, means, diagnosis)
-            state, epoch = guard.rewind(checkpointer, state)
-            print(f"Rewound to epoch {epoch} (rewind #{guard.rewinds}).")
+            # Deterministic replay from the last checkpoint (device-resident
+            # data only): reproduced => real code bug (diagnosis pinpoints
+            # step + batch); not reproduced => transient, substantiated.
+            state, epoch = guard.handle_trip(
+                checkpointer, state, epoch, means,
+                replay_step=(
+                    (lambda s, idx, e: gather_step(s, device_data, idx))
+                    if device_data is not None else None
+                ),
+                index_batches_for_epoch=lambda e: epoch_batch_indices(
+                    len(train_ds), args.batch_size, data_seed, e - 1,
+                    n_shards=n_shards,
+                ),
+                loss_key="loss",
+                spike_threshold=args.spike_threshold,
+            )
+            # The re-run needs room to climb back to its pre-trip quality
+            # before the eval-plateau early stop may fire again.
+            stale_evals = 0
             continue
 
         for k, v in means.items():
@@ -544,7 +534,6 @@ def main(argv=None) -> None:
 
         if epoch % args.checkpoint_interval == 0:
             checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
-            last_saved_epoch = epoch
             print(f"Checkpoint save started at epoch {epoch} (async).")
         if (
             args.early_stop_patience is not None
