@@ -328,7 +328,8 @@ def test_cache_max_samples_subset(live_ds, tmp_path):
 def test_pretrain_cli_early_stop(image_dir, tmp_path):
     """--early_stop_patience ends the run at the eval-PSNR plateau and
     still writes a final checkpoint off the checkpoint_interval grid;
-    --max_train_samples caps the cache the trainer sees."""
+    --max_train_samples caps the cache the trainer sees; --lr_schedule
+    cosine builds and trains under a decaying schedule."""
     from ultrazoom_tpu.tools.cache_dataset import main as cache_main
     from ultrazoom_tpu.train.pretrain import main as pt_main
 
@@ -357,6 +358,7 @@ def test_pretrain_cli_early_stop(image_dir, tmp_path):
         # An impossible min_delta makes every eval after the first stale,
         # so patience 1 stops the run at epoch 2 (of 8).
         "--early_stop_patience", "1", "--early_stop_min_delta", "1e9",
+        "--lr_schedule", "cosine",
         "--checkpoint_interval", "5",
         "--checkpoint_path", str(ckpt),
         "--run_dir_path", str(tmp_path / "runs"),

@@ -55,7 +55,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
-    --loss_combiner adaptive --num_epochs 100 --early_stop_patience 8 --remat_policy hidden \
+    --loss_combiner adaptive --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine --remat_policy hidden \
     --checkpoint_path $CKPT/r3_4x_s1 --run_dir_path runs/r3_4x_s1 --seed 300 ;;
 4x_polish)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
@@ -78,7 +78,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
-    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 \
+    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
     --checkpoint_path $CKPT/r3_3x_s1 --run_dir_path runs/r3_3x_s1 --seed 300 ;;
 3x_polish)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
@@ -102,7 +102,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 \
+    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
     --checkpoint_path $CKPT/r3_2x_s1 --run_dir_path runs/r3_2x_s1 --seed 300 ;;
 2x_polish)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
@@ -126,7 +126,7 @@ unet) bash $SELF unet_s1 && bash $SELF unet_polish ;;
 unet_s1)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner balanced --num_epochs 60 --early_stop_patience 6 --activation_checkpointing \
+    --loss_combiner balanced --num_epochs 60 --early_stop_patience 6 --lr_schedule cosine --activation_checkpointing \
     --checkpoint_path $CKPT/r3_unet_s1 --run_dir_path runs/r3_unet_s1 \
     --seed 300 ;;
 unet_polish)

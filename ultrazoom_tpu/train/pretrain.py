@@ -98,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
         "perceptually-pretrained model with --loss_combiner pixel",
     )
     p.add_argument("--max_gradient_norm", type=float, default=2.0)
+    p.add_argument(
+        "--lr_schedule", default="constant", choices=("constant", "cosine"),
+        help="upscaler lr schedule: 'constant' matches the reference; "
+        "'cosine' decays to 10%% of the peak over num_epochs — the "
+        "edge-of-stability mitigation for late-training divergence at "
+        "constant lr (ARCHITECTURE.md, adaptive-recipe forensics)",
+    )
     p.add_argument("--num_primary_channels", type=int, default=48)
     p.add_argument("--num_primary_layers", type=int, default=4)
     p.add_argument("--num_secondary_channels", type=int, default=96)
@@ -293,6 +300,28 @@ def main(argv=None) -> None:
         if args.loss_combiner in ("pixel", "pixel_ssim")
         else init_vgg19_features(args.vgg_weights_path, seed=0)
     )
+    lr = args.upscaler_learning_rate
+    if args.lr_schedule == "cosine":
+        # Edge-of-stability mitigation (forensic_adaptive_late.py): late in
+        # training the loss landscape sharpens until constant-lr AdamW steps
+        # cross an amplification cliff (epoch-57 replay diverges at 3e-4,
+        # is perfectly stable at 1e-4 on the identical state + data); a
+        # cosine decay to 10% of the peak walks the lr down ahead of the
+        # sharpening.  Schedules count inner-optimizer updates: one per
+        # accumulation window.
+        import optax
+
+        updates_per_epoch = max(
+            1,
+            len(train_ds)
+            // args.batch_size
+            // args.gradient_accumulation_steps,
+        )
+        lr = optax.cosine_decay_schedule(
+            init_value=args.upscaler_learning_rate,
+            decay_steps=args.num_epochs * updates_per_epoch,
+            alpha=0.1,
+        )
     if args.loss_combiner == "adaptive":
         from ultrazoom_tpu.train.steps import (
             make_adaptive_optimizer,
@@ -301,14 +330,14 @@ def main(argv=None) -> None:
 
         params = wrap_params_with_loss_combiner(params, 3 if is_ctrl else 4)
         optimizer = make_adaptive_optimizer(
-            args.upscaler_learning_rate,
+            lr,
             args.max_gradient_norm,
             args.gradient_accumulation_steps,
             args.adaptive_loss_learning_rate,
         )
     else:
         optimizer = make_optimizer(
-            args.upscaler_learning_rate,
+            lr,
             args.max_gradient_norm,
             args.gradient_accumulation_steps,
         )

@@ -72,13 +72,16 @@ class GanTrainState(NamedTuple):
 
 
 def make_optimizer(
-    learning_rate: float,
+    learning_rate,
     max_gradient_norm: float | None = 2.0,
     accumulation_steps: int = 1,
     weight_decay: float = 0.01,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip (+ MultiSteps accumulation), matching the
-    reference's AdamW/clip_grad_norm_/accumulation recipe."""
+    reference's AdamW/clip_grad_norm_/accumulation recipe.
+
+    ``learning_rate`` may be a float or an optax schedule (schedules count
+    inner updates — one per accumulation window under MultiSteps)."""
     chain = []
     if max_gradient_norm is not None:
         chain.append(optax.clip_by_global_norm(max_gradient_norm))
@@ -90,7 +93,7 @@ def make_optimizer(
 
 
 def make_adaptive_optimizer(
-    learning_rate: float,
+    learning_rate,
     max_gradient_norm: float | None,
     accumulation_steps: int,
     adaptive_loss_learning_rate: float = 1e-3,
