@@ -67,6 +67,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --seed 310 ;;
 4x_gan)
   python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_4x_polish \
+    --target_resolution 256 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --critic_model_size small --num_epochs 6 \
     --checkpoint_path $CKPT/r3_4x_gan --run_dir_path runs/r3_4x_gan --seed 320 ;;
@@ -114,6 +115,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --seed 310 ;;
 2x_gan)
   python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_2x_polish \
+    --target_resolution 256 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --critic_model_size small --num_epochs 6 \
     --checkpoint_path $CKPT/r3_2x_gan --run_dir_path runs/r3_2x_gan --seed 320 ;;
