@@ -80,6 +80,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
     --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
+    --remat_policy hidden \
     --checkpoint_path $CKPT/r3_3x_s1 --run_dir_path runs/r3_3x_s1 --seed 300 ;;
 3x_polish)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
@@ -87,7 +88,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
     --loss_combiner pixel --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
-    --init_params_from $CKPT/r3_3x_s1 \
+    --remat_policy hidden --init_params_from $CKPT/r3_3x_s1 \
     --checkpoint_path $CKPT/r3_3x_polish --run_dir_path runs/r3_3x_polish \
     --seed 310 ;;
 3x_gan)
@@ -104,13 +105,14 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
+    --remat_policy hidden \
     --checkpoint_path $CKPT/r3_2x_s1 --run_dir_path runs/r3_2x_s1 --seed 300 ;;
 2x_polish)
   python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
-    --init_params_from $CKPT/r3_2x_s1 \
+    --remat_policy hidden --init_params_from $CKPT/r3_2x_s1 \
     --checkpoint_path $CKPT/r3_2x_polish --run_dir_path runs/r3_2x_polish \
     --seed 310 ;;
 2x_gan)
