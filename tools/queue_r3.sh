@@ -14,7 +14,7 @@ SKIP=" $* "
 
 run() { # stage -> 0/1
   case "$SKIP" in *" $1 "*) echo "$(date -u +%T) stage $1 skipped"; return 0;; esac
-  for attempt in 1 2; do
+  for attempt in 1 2 3 4; do  # auto_resume makes retries continue, not restart
     echo "$(date -u +%T) === stage $1 (attempt $attempt) ==="
     if bash tools/recipes_r3.sh "$1" > "/tmp/train_$1.log" 2>&1; then
       echo "$(date -u +%T) stage $1 OK"

@@ -52,13 +52,13 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
 # ---- 4X: published-checkpoint preset, 96ch / 40-layer Ctrl body (13.4M)
 4x) bash $SELF 4x_s1 && bash $SELF 4x_polish && bash $SELF 4x_gan ;;
 4x_s1)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --loss_combiner adaptive --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine --remat_policy hidden \
     --checkpoint_path $CKPT/r3_4x_s1 --run_dir_path runs/r3_4x_s1 --seed 300 ;;
 4x_polish)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --loss_combiner pixel_ssim --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
@@ -66,7 +66,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --checkpoint_path $CKPT/r3_4x_polish --run_dir_path runs/r3_4x_polish \
     --seed 310 ;;
 4x_gan)
-  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_4x_polish \
+  python -m ultrazoom_tpu.train.finetune --auto_resume --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_4x_polish \
     --target_resolution 256 \
     --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
     --critic_model_size small --num_epochs 6 \
@@ -75,7 +75,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
 # ---- 3X: 54ch / 30-layer (3.2M); 252 targets (divisible by 3)
 3x) bash $SELF 3x_s1 && bash $SELF 3x_polish && bash $SELF 3x_gan ;;
 3x_s1)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
@@ -83,7 +83,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --remat_policy hidden \
     --checkpoint_path $CKPT/r3_3x_s1 --run_dir_path runs/r3_3x_s1 --seed 300 ;;
 3x_polish)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
@@ -92,7 +92,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --checkpoint_path $CKPT/r3_3x_polish --run_dir_path runs/r3_3x_polish \
     --seed 310 ;;
 3x_gan)
-  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_3x_polish \
+  python -m ultrazoom_tpu.train.finetune --auto_resume --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_3x_polish \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
     --critic_model_size small --num_epochs 6 \
@@ -101,14 +101,14 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
 # ---- 2X: 48ch / 20-layer (1.7M)
 2x) bash $SELF 2x_s1 && bash $SELF 2x_polish && bash $SELF 2x_gan ;;
 2x_s1)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
     --remat_policy hidden \
     --checkpoint_path $CKPT/r3_2x_s1 --run_dir_path runs/r3_2x_s1 --seed 300 ;;
 2x_polish)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --arch ctrl \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
@@ -116,7 +116,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --checkpoint_path $CKPT/r3_2x_polish --run_dir_path runs/r3_2x_polish \
     --seed 310 ;;
 2x_gan)
-  python -m ultrazoom_tpu.train.finetune --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_2x_polish \
+  python -m ultrazoom_tpu.train.finetune --auto_resume --device_data_budget_gib 6 --base_checkpoint_path $CKPT/r3_2x_polish \
     --target_resolution 256 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --critic_model_size small --num_epochs 6 \
@@ -128,13 +128,13 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
 #      the HBM headroom a full 5.9 GiB resident cache would eat.
 unet) bash $SELF unet_s1 && bash $SELF unet_polish ;;
 unet_s1)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --num_epochs 60 --early_stop_patience 6 --lr_schedule cosine --activation_checkpointing \
     --checkpoint_path $CKPT/r3_unet_s1 --run_dir_path runs/r3_unet_s1 \
     --seed 300 ;;
 unet_polish)
-  python -m ultrazoom_tpu.train.pretrain --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
     --activation_checkpointing --init_params_from $CKPT/r3_unet_s1 \

@@ -84,6 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_interval", type=int, default=2)
     p.add_argument("--checkpoint_path", default="./checkpoints/finetune")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from checkpoint_path iff a complete checkpoint exists "
+        "there (fresh start otherwise) — lets a supervisor blindly retry "
+        "a failed/hung stage without losing finished epochs",
+    )
+    p.add_argument(
+        "--hang_timeout_s", type=float, default=1800.0,
+        help="exit(43) if no epoch completes for this many seconds — "
+        "converts a wedged device RPC (tunnel backends can silently drop "
+        "an in-flight call) into a retriable failure; <=0 disables",
+    )
     p.add_argument("--run_dir_path", default="./runs")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument(
@@ -126,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # Started before setup, not just the epoch loop: cache upload and the
+    # first remote compile are exactly where a tunnel RPC wedge strands a
+    # process with no recourse (observed live).
+    from ultrazoom_tpu.train.watchdog import HangWatchdog
+
+    watchdog = HangWatchdog(args.hang_timeout_s, label="finetune").start()
     seed = args.seed if args.seed is not None else random.randrange(2**31)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -173,6 +191,8 @@ def main(argv=None) -> None:
         sn_state, jnp.zeros((), jnp.int32),
     )
     start_epoch = 1
+    if not args.resume and args.auto_resume:
+        args.resume = latest_meta(args.checkpoint_path) is not None
     if args.resume:
         state, meta = restore_state(args.checkpoint_path, state)
         start_epoch = meta["epoch"] + 1
@@ -327,6 +347,7 @@ def main(argv=None) -> None:
 
     epoch = start_epoch
     while epoch <= args.num_epochs:
+        watchdog.beat()
         warmup = epoch <= args.critic_warmup_epochs
         if args.inject_nan_epoch == epoch and not injected:
             state = poison_params(state)
@@ -354,6 +375,7 @@ def main(argv=None) -> None:
                     sums[k] = sums.get(k, 0.0) + v
                 n += 1
         means = {k: float(v) / n for k, v in sums.items()}
+        watchdog.beat()  # epoch's device work synced (the float() readbacks)
 
         if guard is not None and guard.tripped(means, args.spike_threshold):
             state, epoch = guard.handle_trip(
@@ -420,8 +442,10 @@ def main(argv=None) -> None:
         if epoch % args.checkpoint_interval == 0:
             checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
             print(f"Checkpoint save started at epoch {epoch} (async).")
+            watchdog.beat()  # save()'s D2H pull completed
         epoch += 1
 
+    watchdog.close()
     checkpointer.wait()
     logger.close()
 

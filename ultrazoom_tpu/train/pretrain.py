@@ -127,6 +127,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_interval", type=int, default=2)
     p.add_argument("--checkpoint_path", default="./checkpoints/pretrain")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from checkpoint_path iff a complete checkpoint exists "
+        "there (fresh start otherwise) — lets a supervisor blindly retry "
+        "a failed/hung stage without losing finished epochs",
+    )
+    p.add_argument(
+        "--hang_timeout_s", type=float, default=1800.0,
+        help="exit(43) if no epoch completes for this many seconds — "
+        "converts a wedged device RPC (tunnel backends can silently drop "
+        "an in-flight call) into a retriable failure; <=0 disables",
+    )
     p.add_argument("--run_dir_path", default="./runs")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument(
@@ -190,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # Started before setup, not just the epoch loop: cache upload and the
+    # first remote compile are exactly where a tunnel RPC wedge strands a
+    # process with no recourse (observed live).
+    from ultrazoom_tpu.train.watchdog import HangWatchdog
+
+    watchdog = HangWatchdog(args.hang_timeout_s, label="pretrain").start()
     seed = args.seed if args.seed is not None else random.randrange(2**31)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -343,6 +361,10 @@ def main(argv=None) -> None:
         )
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
     start_epoch = 1
+    if not args.resume and args.auto_resume:
+        from ultrazoom_tpu.utils import latest_meta
+
+        args.resume = latest_meta(args.checkpoint_path) is not None
     if args.resume:
         state, meta = restore_state(args.checkpoint_path, state)
         start_epoch = meta["epoch"] + 1
@@ -450,6 +472,7 @@ def main(argv=None) -> None:
 
     epoch = start_epoch
     while epoch <= args.num_epochs:
+        watchdog.beat()
         if args.inject_nan_epoch == epoch and not injected:
             state = poison_params(state)
             injected = True
@@ -484,6 +507,7 @@ def main(argv=None) -> None:
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {args.profile_dir}")
         means = {k: float(v) / n for k, v in sums.items()}
+        watchdog.beat()  # epoch's device work synced (the float() readbacks)
 
         if guard is not None and guard.tripped(means, args.spike_threshold):
             # Deterministic replay from the last checkpoint (device-resident
@@ -564,6 +588,7 @@ def main(argv=None) -> None:
         if epoch % args.checkpoint_interval == 0:
             checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
             print(f"Checkpoint save started at epoch {epoch} (async).")
+            watchdog.beat()  # save()'s D2H pull completed
         if (
             args.early_stop_patience is not None
             and stale_evals >= args.early_stop_patience
@@ -579,6 +604,7 @@ def main(argv=None) -> None:
             break
         epoch += 1
 
+    watchdog.close()
     checkpointer.wait()
     logger.close()
 
