@@ -356,9 +356,11 @@ def test_pretrain_cli_early_stop(image_dir, tmp_path):
         "--max_train_samples", "6",
         "--num_epochs", "8", "--eval_interval", "1",
         # An impossible min_delta makes every eval after the first stale,
-        # so patience 1 stops the run at epoch 2 (of 8).
+        # so patience 1 stops the run at epoch 2 (of 8).  The anneal is
+        # already complete by then (--cosine_epochs 2), so the stop is
+        # not deferred.
         "--early_stop_patience", "1", "--early_stop_min_delta", "1e9",
-        "--lr_schedule", "cosine",
+        "--lr_schedule", "cosine", "--cosine_epochs", "2",
         "--checkpoint_interval", "5",
         "--checkpoint_path", str(ckpt),
         "--run_dir_path", str(tmp_path / "runs"),
@@ -367,3 +369,26 @@ def test_pretrain_cli_early_stop(image_dir, tmp_path):
     ])
     meta = json.loads((ckpt / "meta.json").read_text())
     assert meta["epoch"] == 2  # early-stopped + off-grid final save
+
+    # Anneal-aware deferral: with a 4-epoch cosine horizon the plateau at
+    # epoch 2 must NOT stop the run mid-anneal; stopping becomes legal at
+    # epoch ceil(0.9 * 4) = 4 (of 8), where the same stale counter fires.
+    ckpt2 = tmp_path / "ck2"
+    pt_main([
+        "--train_images_path", str(tmp_path / "trainc"),
+        "--test_images_path", str(tmp_path / "testc"),
+        "--arch", "ctrl", "--num_channels", "8", "--num_encoder_layers", "2",
+        "--target_resolution", "32", "--upscale_ratio", "2",
+        "--batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--max_train_samples", "6",
+        "--num_epochs", "8", "--eval_interval", "1",
+        "--early_stop_patience", "1", "--early_stop_min_delta", "1e9",
+        "--lr_schedule", "cosine", "--cosine_epochs", "4",
+        "--checkpoint_interval", "5",
+        "--checkpoint_path", str(ckpt2),
+        "--run_dir_path", str(tmp_path / "runs2"),
+        "--seed", "0", "--num_dataset_processes", "2",
+        "--compute_dtype", "float32",
+    ])
+    meta2 = json.loads((ckpt2 / "meta.json").read_text())
+    assert meta2["epoch"] == 4  # deferred past the anneal, then stopped

@@ -79,7 +79,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
     --target_resolution 252 \
     --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
-    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
+    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine --cosine_epochs 72 \
     --remat_policy hidden \
     --checkpoint_path $CKPT/r3_3x_s1 --run_dir_path runs/r3_3x_s1 --seed 300 ;;
 3x_polish)
@@ -104,7 +104,7 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --arch ctrl \
     --num_channels 48 --num_encoder_layers 20 --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine \
+    --loss_combiner balanced --num_epochs 100 --early_stop_patience 8 --lr_schedule cosine --cosine_epochs 72 \
     --remat_policy hidden \
     --checkpoint_path $CKPT/r3_2x_s1 --run_dir_path runs/r3_2x_s1 --seed 300 ;;
 2x_polish)

@@ -105,6 +105,15 @@ def build_parser() -> argparse.ArgumentParser:
         "edge-of-stability mitigation for late-training divergence at "
         "constant lr (ARCHITECTURE.md, adaptive-recipe forensics)",
     )
+    p.add_argument(
+        "--cosine_epochs", type=int, default=None,
+        help="anneal horizon for --lr_schedule cosine (default: num_epochs). "
+        "Decoupling it from num_epochs lets the anneal COMPLETE before an "
+        "early stop can fire — the round-3 3X retrain showed that a plateau "
+        "seen at mid-schedule lr is not the optimum the schedule reaches "
+        "(ARCHITECTURE.md: early stopping truncates the anneal); the lr "
+        "holds at the 10%% floor after the horizon",
+    )
     p.add_argument("--num_primary_channels", type=int, default=48)
     p.add_argument("--num_primary_layers", type=int, default=4)
     p.add_argument("--num_secondary_channels", type=int, default=96)
@@ -335,9 +344,10 @@ def main(argv=None) -> None:
             // args.batch_size
             // args.gradient_accumulation_steps,
         )
+        cosine_epochs = args.cosine_epochs or args.num_epochs
         lr = optax.cosine_decay_schedule(
             init_value=args.upscaler_learning_rate,
-            decay_steps=args.num_epochs * updates_per_epoch,
+            decay_steps=cosine_epochs * updates_per_epoch,
             alpha=0.1,
         )
     if args.loss_combiner == "adaptive":
@@ -469,6 +479,19 @@ def main(argv=None) -> None:
     injected = False
     best_psnr = -float("inf")
     stale_evals = 0
+    # Anneal-aware early stopping: a plateau observed while a cosine
+    # schedule still sits at mid-anneal lr is not the optimum the schedule
+    # reaches (the round-3 3X retrain early-stopped at ~0.7x peak lr and
+    # lost to bicubic; re-annealed runs win — ARCHITECTURE.md).  Defer the
+    # stop until the anneal is >=90% complete, so the detector only ever
+    # judges near-floor-lr evals.
+    early_stop_from = 1
+    if args.lr_schedule == "cosine":
+        import math
+
+        early_stop_from = math.ceil(
+            0.9 * (args.cosine_epochs or args.num_epochs)
+        )
 
     epoch = start_epoch
     while epoch <= args.num_epochs:
@@ -592,6 +615,17 @@ def main(argv=None) -> None:
         if (
             args.early_stop_patience is not None
             and stale_evals >= args.early_stop_patience
+            and epoch < early_stop_from
+        ):
+            print(
+                f"Early-stop deferred at epoch {epoch}: eval PSNR stale for "
+                f"{stale_evals} evals but the cosine anneal is not done "
+                f"(stopping allowed from epoch {early_stop_from})."
+            )
+        if (
+            args.early_stop_patience is not None
+            and stale_evals >= args.early_stop_patience
+            and epoch >= early_stop_from
         ):
             print(
                 f"Early stop at epoch {epoch}: eval PSNR stale for "
