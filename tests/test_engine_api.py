@@ -85,6 +85,36 @@ def test_api_dispatch_ctrl(tmp_path):
     assert isinstance(loaded, MewZoomCtrl)
 
 
+def test_upscale_rejects_unknown_kwargs():
+    """A misspelled kwarg must raise, not vanish into **tile_kw: a silently
+    dropped control= changes model output instead of erroring."""
+    um = _tiny_unet(seed=7)
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    with pytest.raises(TypeError, match="control"):
+        um.upscale(x, control=0.5)
+    cm = MewZoomCtrl.from_config(
+        MewZoomCtrl.Config(upscale_ratio=2, num_channels=8, num_layers=2), seed=7
+    )
+    with pytest.raises(TypeError, match="control"):
+        cm.upscale(x, control=dict(gaussian_blur=0.5))
+
+
+def test_ctrl_upscale_accepts_control_dict():
+    """dict control == ControlVector control; bad keys raise."""
+    from ultrazoom_tpu.models import ControlVector
+
+    cm = MewZoomCtrl.from_config(
+        MewZoomCtrl.Config(upscale_ratio=2, num_channels=8, num_layers=2), seed=8
+    )
+    x = np.random.default_rng(8).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    cv = dict(gaussian_blur=0.5, gaussian_noise=0.1, jpeg_compression=0.4)
+    a = cm.upscale(x, cv)
+    b = cm.upscale(x, ControlVector(**cv))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    with pytest.raises(TypeError):
+        cm.upscale(x, dict(blur=0.5))
+
+
 def test_api_accepts_nchw():
     model = _tiny_unet(seed=6)
     x = np.random.default_rng(6).uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)

@@ -183,6 +183,14 @@ class MewZoom(_Base):
             eng = self.tiled(tile=tile, compute_dtype=compute_dtype, **tile_kw)
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
+        if tile_kw:
+            # **tile_kw exists only for the tiled engine; swallowing a
+            # misspelled kwarg here (e.g. control=) would silently change
+            # model behaviour instead of erroring.
+            raise TypeError(
+                f"upscale() got unexpected arguments {sorted(tile_kw)}; "
+                "tile-engine options require tile=."
+            )
         fn = self._jitted("upscale", compute_dtype)
         out = dispatch_batched(fn, x) if batch_dispatch else fn(x)
         return out[0] if squeeze else out
@@ -292,6 +300,8 @@ class MewZoomCtrl(_Base):
         self, x, c=None, compute_dtype=None, tile: int | None = None,
         batch_dispatch: bool = True, **tile_kw,
     ):
+        if isinstance(c, dict):
+            c = _ctrl.ControlVector(**c)  # validates field names and ranges
         if isinstance(c, _ctrl.ControlVector):
             c = c.to_tensor()
         x, squeeze = _ensure_nhwc(x)
@@ -305,6 +315,11 @@ class MewZoomCtrl(_Base):
             eng = self.tiled(c=c, tile=tile, compute_dtype=compute_dtype, **tile_kw)
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
+        if tile_kw:
+            raise TypeError(
+                f"upscale() got unexpected arguments {sorted(tile_kw)}; "
+                "tile-engine options require tile=."
+            )
         fn = self._jitted(compute_dtype)
         out = (
             dispatch_batched(lambda xx, cc: fn(xx, cc), x, c)
