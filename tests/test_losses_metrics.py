@@ -53,6 +53,20 @@ def test_balanced_multitask_value_and_grads():
     np.testing.assert_allclose(np.asarray(g), [1.0, 0.1, 0.01], rtol=1e-6)
 
 
+def test_balanced_multitask_floor_caps_amplification():
+    """The divisor floor bounds the 1/l_i gradient weight at 1/floor; terms
+    above the floor are untouched, and floor=None restores the reference's
+    unbounded behaviour (a 1e-8 term would get a 1e8 gradient weight)."""
+    losses = jnp.asarray([1e-8, 0.01, 1.0])
+    g = jax.grad(lambda l: balanced_multitask(l, floor=1e-4))(losses)
+    np.testing.assert_allclose(np.asarray(g), [1e4, 100.0, 1.0], rtol=1e-5)
+    g_ref = jax.grad(lambda l: balanced_multitask(l, floor=None))(losses)
+    np.testing.assert_allclose(np.asarray(g_ref), [1e8, 100.0, 1.0], rtol=1e-5)
+    # Value stays ~num_tasks when every term is above the floor.
+    healthy = jnp.asarray([0.01, 0.02, 0.5])
+    assert abs(float(balanced_multitask(healthy, floor=1e-4)) - 3.0) < 1e-6
+
+
 def test_adaptive_multitask():
     p = adaptive_multitask_init(3)
     losses = jnp.asarray([1.0, 2.0, 3.0])

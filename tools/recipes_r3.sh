@@ -126,17 +126,24 @@ pairs)  # fixed-degradation held-out eval pairs (blur .5 noise .05 jpeg .4)
 #      --debug_nans; the spike/NaN rewind guard (default-on) is the net.
 #      12k-sample cap: 56M params + optimizer + remat'd activations need
 #      the HBM headroom a full 5.9 GiB resident cache would eat.
+#      Peak lr 1e-4: the first 3e-4 soak diverged at epoch 4 (finite
+#      spike, guard-reproduced bit-exactly); the forensic A/C/D replays
+#      (tools/forensic_balanced.py) pinned it on edge-of-stability lr —
+#      the identical state+data is stable at constant 1e-4 — matching the
+#      epoch-57 lr-sensitivity result from the late-training forensics.
 unet) bash $SELF unet_s1 && bash $SELF unet_polish ;;
 unet_s1)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner balanced --num_epochs 60 --early_stop_patience 6 --lr_schedule cosine --activation_checkpointing \
+    --loss_combiner balanced --upscaler_learning_rate 1e-4 \
+    --num_epochs 36 --early_stop_patience 4 --lr_schedule cosine --cosine_epochs 30 \
+    --activation_checkpointing \
     --checkpoint_path $CKPT/r3_unet_s1 --run_dir_path runs/r3_unet_s1 \
     --seed 300 ;;
 unet_polish)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner pixel --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
+    --loss_combiner pixel --num_epochs 20 --early_stop_patience 4 --upscaler_learning_rate 5e-5 \
     --activation_checkpointing --init_params_from $CKPT/r3_unet_s1 \
     --checkpoint_path $CKPT/r3_unet_polish --run_dir_path runs/r3_unet_polish \
     --seed 310 ;;

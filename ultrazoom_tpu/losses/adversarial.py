@@ -42,10 +42,29 @@ def relativistic_bce(
     return bce_with_logits(logits, labels)
 
 
-def balanced_multitask(losses: jax.Array) -> jax.Array:
+def balanced_multitask(
+    losses: jax.Array, floor: float | None = 1e-4
+) -> jax.Array:
     """sum(l_i / stop_grad(l_i)) — every task's gradient normalised to equal
-    magnitude; the value is always the number of tasks (loss.py:82-93)."""
-    return jnp.sum(losses / jax.lax.stop_gradient(losses))
+    magnitude; the value is always the number of tasks (loss.py:82-93).
+
+    ``floor`` (documented divergence from the reference): each task's
+    divisor is clamped to at least ``floor``, capping the stock formula's
+    1/l_i task-gradient weight — which is UNBOUNDED as a task fits well —
+    at 1/floor.  Terms above the floor (all of them, in healthy training —
+    MSEs on [0,1] images sit around 1e-2) are untouched.  This is
+    defence-in-depth against the same positive-feedback family as the
+    adaptive combiner's measured sigma runaway, NOT the root cause of the
+    observed 56M spike: the forensic A/C replay of that spike
+    (tools/forensic_balanced.py; epoch 4, step 331, reproduced
+    bit-deterministically) was BIT-IDENTICAL with and without the floor —
+    no divisor ever dipped below 1e-4 there; phase D pinned that incident
+    on edge-of-stability lr instead.  Pass ``floor=None`` for the
+    reference's exact unclamped behaviour."""
+    div = jax.lax.stop_gradient(losses)
+    if floor is not None:
+        div = jnp.maximum(div, floor)
+    return jnp.sum(losses / div)
 
 
 def adaptive_multitask_init(num_losses: int) -> dict:

@@ -84,6 +84,16 @@ def build_parser() -> argparse.ArgumentParser:
         "behaviour",
     )
     p.add_argument(
+        "--balanced_floor", type=float, default=1e-4,
+        help="clamp each balanced-combiner divisor stop_grad(l_i) from "
+        "below: the stock sum(l_i/sg(l_i)) scales task i's gradient by an "
+        "UNBOUNDED 1/l_i as a task fits well.  Defence-in-depth against "
+        "the loss-weight-runaway family (the adaptive analog was real); "
+        "forensically ruled OUT as the cause of the 56M epoch-4 spike "
+        "(see losses/adversarial.py and tools/forensic_balanced.py); "
+        "pass 0 for the reference's exact behaviour",
+    )
+    p.add_argument(
         "--loss_combiner", default="balanced",
         choices=("balanced", "adaptive", "pixel", "pixel_ssim"),
         help="balanced/adaptive follow the reference's multitask recipes; "
@@ -398,6 +408,7 @@ def main(argv=None) -> None:
             loss_combiner=args.loss_combiner,
             remat=remat,
             adaptive_sigma_floor=args.adaptive_sigma_floor,
+            balanced_floor=args.balanced_floor or None,
         )
     else:
         step_fn = make_pretrain_step(
@@ -406,6 +417,7 @@ def main(argv=None) -> None:
             compute_dtype=compute_dtype,
             loss_combiner=args.loss_combiner,
             adaptive_sigma_floor=args.adaptive_sigma_floor,
+            balanced_floor=args.balanced_floor or None,
         )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:

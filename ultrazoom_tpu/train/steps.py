@@ -193,6 +193,7 @@ def make_pretrain_step(
     compute_dtype=None,
     loss_combiner: str = "balanced",
     adaptive_sigma_floor: float | None = -1.25,
+    balanced_floor: float | None = 1e-4,
 ) -> Callable:
     """Stage-1 step: pixel MSE + vgg22 + vgg54 + deg MSE combined by
     BalancedMultitask (reference pretrain.py:245-267) or AdaptiveMultitask
@@ -226,7 +227,7 @@ def make_pretrain_step(
                 dssim = 1.0 - _ssim(jnp.clip(sr, 0.0, 1.0), batch["y"])
                 terms.append(dssim)
                 aux["dssim"] = dssim
-            total = balanced_multitask(jnp.stack(terms))
+            total = balanced_multitask(jnp.stack(terms), balanced_floor)
             return total, {"loss": total, **aux}
         # VGG towers at the compute dtype — the reference autocasts the
         # compiled VGG loss to bf16 (pretrain.py:117-123,200); f32 towers
@@ -241,7 +242,7 @@ def make_pretrain_step(
                 params["loss_combiner"], losses, adaptive_sigma_floor
             )
         else:
-            total = balanced_multitask(losses)
+            total = balanced_multitask(losses, balanced_floor)
         aux = {
             "loss": total,
             "pixel_l2": pixel,
@@ -271,6 +272,7 @@ def make_ctrl_pretrain_step(
     loss_combiner: str = "balanced",
     remat: bool = False,
     adaptive_sigma_floor: float | None = -1.25,
+    balanced_floor: float | None = 1e-4,
 ) -> Callable:
     """Stage-1 step for the controllable 0.1.x/0.2.x architecture
     (models/ctrl.py — the family of every published HF checkpoint).
@@ -312,7 +314,7 @@ def make_ctrl_pretrain_step(
                 from ultrazoom_tpu.metrics.quality import ssim as _ssim
 
                 dssim = 1.0 - _ssim(jnp.clip(sr, 0.0, 1.0), batch["y"])
-                total = balanced_multitask(jnp.stack([pixel, dssim]))
+                total = balanced_multitask(jnp.stack([pixel, dssim]), balanced_floor)
                 return total, {"loss": total, "pixel_l2": pixel, "dssim": dssim}
             return pixel, {"loss": pixel, "pixel_l2": pixel}
         # bf16 VGG towers under mixed precision (see make_pretrain_step).
@@ -326,7 +328,7 @@ def make_ctrl_pretrain_step(
                 params["loss_combiner"], losses, adaptive_sigma_floor
             )
         else:
-            total = balanced_multitask(losses)
+            total = balanced_multitask(losses, balanced_floor)
         return total, {
             "loss": total, "pixel_l2": pixel, "vgg22_l2": l22, "vgg54_l2": l54,
         }
