@@ -136,14 +136,14 @@ unet_s1)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --upscaler_learning_rate 1e-4 \
-    --num_epochs 36 --early_stop_patience 4 --lr_schedule cosine --cosine_epochs 30 \
+    --num_epochs 24 --early_stop_patience 3 --lr_schedule cosine --cosine_epochs 20 \
     --activation_checkpointing \
     --checkpoint_path $CKPT/r3_unet_s1 --run_dir_path runs/r3_unet_s1 \
     --seed 300 ;;
 unet_polish)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 6 --max_train_samples 12000 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
-    --loss_combiner pixel --num_epochs 20 --early_stop_patience 4 --upscaler_learning_rate 5e-5 \
+    --loss_combiner pixel --num_epochs 12 --early_stop_patience 3 --upscaler_learning_rate 5e-5 \
     --activation_checkpointing --init_params_from $CKPT/r3_unet_s1 \
     --checkpoint_path $CKPT/r3_unet_polish --run_dir_path runs/r3_unet_polish \
     --seed 310 ;;

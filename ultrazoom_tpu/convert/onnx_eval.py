@@ -396,7 +396,11 @@ def run_onnx(graph: OnnxGraph, feeds: dict) -> list[np.ndarray]:
         elif op == "Exp":
             y = np.exp(x[0])
         elif op == "Sigmoid":
-            y = 1.0 / (1.0 + np.exp(-x[0].astype(np.float32)))
+            # Branch on sign so exp() only ever sees non-positive inputs
+            # (exp(-x) overflows f32 for x < -88 and warns).
+            v = x[0].astype(np.float32)
+            e = np.exp(-np.abs(v))
+            y = np.where(v >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
         elif op == "Relu":
             y = np.maximum(x[0], 0)
         elif op == "Tanh":
