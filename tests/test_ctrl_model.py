@@ -118,3 +118,18 @@ def test_test_compare_returns_pair():
     x = np.random.default_rng(3).uniform(0, 1, (9, 9, 3)).astype(np.float32)
     enhanced, bicubic = model.test_compare(x, ctrl.ControlVector(0.1, 0.1, 0.1))
     assert enhanced.shape == bicubic.shape == (27, 27, 3)
+
+
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_body_unroll_matches_compiled_loop(unroll):
+    # Partial unrolling is a pure scheduling knob: outputs must be
+    # identical to the unroll=1 compiled loop (same op sequence, f32).
+    cfg = ctrl.MewZoomCtrlConfig(upscale_ratio=2, num_channels=8, num_layers=5)
+    p = _params(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (2, 12, 12, 3)), jnp.float32
+    )
+    c = jnp.asarray([[0.5, 0.2, 0.3], [0.1, 0.9, 0.0]], jnp.float32)
+    y1 = ctrl.apply(p, x, c, cfg=cfg)
+    yu = ctrl.apply(p, x, c, cfg=cfg, unroll=unroll)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(yu), rtol=0, atol=1e-6)

@@ -147,7 +147,11 @@ def init(key: jax.Array, cfg: MewZoomCtrlConfig, dtype=jnp.float32) -> Params:
 
 
 def _body_scan(
-    body: Params, z: jax.Array, c: jax.Array | None, remat: bool | str = False
+    body: Params,
+    z: jax.Array,
+    c: jax.Array | None,
+    remat: bool | str = False,
+    unroll: int = 1,
 ) -> jax.Array:
     controllable = "film_w" in body
 
@@ -195,7 +199,14 @@ def _body_scan(
         # training allocation — are recomputed in the backward pass.
         step = jax.checkpoint(step)
 
-    z, _ = jax.lax.scan(step, z, xs)
+    # ``unroll`` trades compile time for cross-layer fusion freedom: XLA
+    # gets ``unroll`` consecutive blocks in one loop body and can overlap
+    # the residual add / FiLM epilogue of block i with block i+1's conv.
+    # Full unrolling never finished compiling through the remote-compile
+    # tunnel (ARCHITECTURE.md "lax.scan over the Ctrl body"); small partial
+    # unrolls keep compile bounded.  Measured on v5e at the headline config
+    # before changing the default — see ARCHITECTURE.md.
+    z, _ = jax.lax.scan(step, z, xs, unroll=unroll)
     return z
 
 
@@ -207,6 +218,7 @@ def apply(
     cfg: MewZoomCtrlConfig,
     compute_dtype: jnp.dtype | None = None,
     remat: bool | str = False,
+    unroll: int = 1,
 ) -> jax.Array:
     """Forward: bicubic zoom + learned residual enhancement.
 
@@ -218,6 +230,9 @@ def apply(
            checkpointing (save only the C-wide carries); "hidden" =
            selective (save the hC-wide conv1 outputs, recompute pointwise
            ops only — the fastest policy that still bounds training memory).
+        unroll: lax.scan partial-unroll factor for the body (1 = compiled
+           loop).  >1 trades compile time for cross-layer fusion freedom;
+           measured guidance in ARCHITECTURE.md.
     """
     if isinstance(c, ControlVector):
         c = c.to_tensor()
@@ -233,7 +248,13 @@ def apply(
 
     z = x.astype(compute_dtype) if compute_dtype is not None else x
     z = conv2d(z, params["stem"]["conv"]["weight"], params["stem"]["conv"]["bias"])
-    z = _body_scan(params["body"], z, c if cfg.controllable else None, remat=remat)
+    z = _body_scan(
+        params["body"],
+        z,
+        c if cfg.controllable else None,
+        remat=remat,
+        unroll=unroll,
+    )
     z = conv2d(z, params["tail"]["conv"]["weight"], padding=1)
     z = pixel_shuffle(z, cfg.upscale_ratio)
 
