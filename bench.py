@@ -7,24 +7,34 @@ implementation's measured 0.016 input-MP/s on this task (BASELINE.md —
 the reference publishes no numbers of its own; north star is >=5x).
 
 Prints ONE JSON line.
+
+Hang hardening: the tunnel-attached backend occasionally wedges an
+in-flight RPC — observed live: a first-compile that normally takes ~25 s
+blocked >500 s with no exception, while a fresh process succeeded
+immediately (same failure family as train/watchdog.py).  So the
+measurement runs in a child process under a deadline and gets ONE fresh
+retry; the jax-free parent relays the child's JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_MPS = 0.016  # BASELINE.md: measured 4X reference throughput (CPU)
 BATCH = 8
 SIZE = 512
 ITERS = 10
+CHILD_DEADLINE_S = 420  # >10x the normal first-compile + measure time
 
 
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from ultrazoom_tpu.models import ctrl
 
     cfg = ctrl.PRESETS["4x"]  # 96ch / 40 layers / 4X -> ~14M params
@@ -70,5 +80,42 @@ def main() -> None:
     )
 
 
+def _supervise() -> int:
+    """Run main() in a child under a deadline; one fresh-process retry."""
+    import os
+
+    here = os.path.abspath(__file__)
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--child"],
+                timeout=CHILD_DEADLINE_S,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(here),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {attempt}: wedged (> {CHILD_DEADLINE_S} s)"
+                + (" — retrying in a fresh process" if attempt == 1 else ""),
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0:
+            sys.stdout.write(proc.stdout)  # the one JSON line
+            return 0
+        print(
+            f"bench attempt {attempt}: child exited {proc.returncode}",
+            file=sys.stderr,
+            flush=True,
+        )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(_supervise())
