@@ -42,7 +42,7 @@ from ultrazoom_tpu.engine.tiling import (
 __all__ = ["UpscaleService"]
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: requests live in a set
 class _Request:
     plan: TilePlan
     future: Future
@@ -60,6 +60,15 @@ class UpscaleService:
         scale, tile, overlap: overlap-tile geometry.
         tile_batch: tiles per device step (the compiled batch).
         max_wait_ms: dispatch a padded partial batch after this long.
+        call_timeout_s: deadline on ONE device step.  The tunnel-attached
+            backend can wedge an in-flight RPC (same failure family as
+            train/watchdog.py / bench.py): without a deadline the single
+            worker thread blocks forever and every pending Future hangs.
+            On breach the service fails ALL outstanding futures with
+            RuntimeError and refuses new submits — callers unblock and
+            rebuild the service (a fresh process/service is the observed
+            cure; the stuck call itself cannot be cancelled in-process).
+            None (default) disables the monitor.
     """
 
     def __init__(
@@ -71,6 +80,7 @@ class UpscaleService:
         tile_batch: int = 8,
         max_wait_ms: float = 5.0,
         output_dtype: str = "float32",
+        call_timeout_s: float | None = None,
     ):
         assert output_dtype in ("float32", "uint8")
         self.scale = scale
