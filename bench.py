@@ -94,7 +94,14 @@ def _supervise() -> int:
                 text=True,
                 cwd=os.path.dirname(here),
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # Relay whatever the wedged child managed to say — those are
+            # exactly the diagnostics worth having.
+            err = e.stderr
+            if err:
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                sys.stderr.write(err)
             print(
                 f"bench attempt {attempt}: wedged (> {CHILD_DEADLINE_S} s)"
                 + (" — retrying in a fresh process" if attempt == 1 else ""),

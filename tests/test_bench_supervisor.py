@@ -9,12 +9,17 @@ import pytest
 
 
 @pytest.fixture()
-def bench(monkeypatch):
-    sys.path.insert(0, "/root/repo")
-    import bench as mod
+def bench():
+    # Load bench.py from its explicit path: no sys.path/sys.modules mutation,
+    # immune to a pre-imported `bench` from elsewhere (ADVICE r3).
+    import importlib.util
+    import pathlib
 
-    yield mod
-    sys.path.remove("/root/repo")
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("_bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _proc(rc=0, out="", err=""):
@@ -50,3 +55,19 @@ def test_two_failures_exit_nonzero(bench, monkeypatch, capsys):
     monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: _proc(7, "", "boom"))
     assert bench._supervise() == 1
     assert "exited 7" in capsys.readouterr().err
+
+
+def test_timeout_relays_partial_child_stderr(bench, monkeypatch, capsys):
+    """A wedged child's captured stderr must be relayed, not discarded
+    (ADVICE r3): the wedged attempt is the one whose logs matter most."""
+
+    def run(*a, **k):
+        raise subprocess.TimeoutExpired(
+            cmd="bench", timeout=1, stderr=b"compile started\nrpc stuck\n"
+        )
+
+    monkeypatch.setattr(bench.subprocess, "run", run)
+    assert bench._supervise() == 1
+    err = capsys.readouterr().err
+    assert "rpc stuck" in err
+    assert "wedged" in err

@@ -79,5 +79,85 @@ def test_multithreaded_submissions():
 def test_submit_after_close_raises():
     svc = _service()
     svc.close()
-    with pytest.raises(AssertionError, match="closed"):
+    with pytest.raises(RuntimeError, match="closed"):
         svc.submit(np.zeros((8, 8, 3), np.float32))
+
+
+def test_non_hwc_submit_raises():
+    svc = _service()
+    try:
+        with pytest.raises(ValueError, match="HWC"):
+            svc.submit(np.zeros((2, 8, 8, 3), np.float32))
+    finally:
+        svc.close()
+
+
+def test_worker_exception_fails_all_futures_and_closes():
+    """A raising upscale_fn must resolve every outstanding future
+    exceptionally (never strand them) and close the service to new submits
+    (VERDICT r3 Missing #1 / Weak #1)."""
+    calls = []
+
+    def boom(x):
+        calls.append(1)
+        raise ValueError("synthetic device failure")
+
+    svc = UpscaleService(
+        boom, scale=2, tile=16, overlap=4, tile_batch=4, max_wait_ms=10.0
+    )
+    try:
+        rng = np.random.default_rng(3)
+        futures = [
+            svc.submit(rng.uniform(0, 1, (24, 24, 3)).astype(np.float32))
+            for _ in range(4)
+        ]
+        for f in futures:
+            with pytest.raises(ValueError, match="synthetic device failure"):
+                f.result(timeout=30)
+        # The worker is dead; submit must refuse rather than enqueue into it.
+        with pytest.raises(RuntimeError, match="closed") as ei:
+            svc.submit(np.zeros((8, 8, 3), np.float32))
+        assert isinstance(ei.value.__cause__, ValueError)  # original chained
+    finally:
+        svc.close()
+
+
+def test_call_timeout_fires_and_fails_outstanding():
+    """A wedged device call (simulated by a sleeping fn) must trip the
+    call_timeout_s deadline: all futures fail with RuntimeError and new
+    submits are refused."""
+    import time as _time
+
+    release = threading.Event()
+
+    def wedged(x):
+        release.wait(timeout=60)  # simulate an RPC that never returns
+        return upsample2d(x, 2)
+
+    svc = UpscaleService(
+        wedged, scale=2, tile=16, overlap=4, tile_batch=4,
+        max_wait_ms=10.0, call_timeout_s=0.5,
+    )
+    try:
+        t0 = _time.monotonic()
+        fut = svc.submit(np.zeros((12, 12, 3), np.float32))
+        with pytest.raises(RuntimeError, match="call_timeout_s"):
+            fut.result(timeout=30)
+        assert _time.monotonic() - t0 < 20  # deadline, not the 60 s sleep
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.submit(np.zeros((8, 8, 3), np.float32))
+    finally:
+        release.set()  # unwedge the helper thread so the suite exits cleanly
+        svc.close()
+
+
+def test_call_timeout_noop_on_healthy_fn():
+    """With a generous deadline a healthy service behaves identically."""
+    svc = _service(call_timeout_s=120.0)
+    try:
+        rng = np.random.default_rng(4)
+        img = rng.uniform(0, 1, (20, 20, 3)).astype(np.float32)
+        out = svc.upscale(img)
+        assert out.shape == (40, 40, 3)
+    finally:
+        svc.close()

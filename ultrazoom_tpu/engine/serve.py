@@ -24,7 +24,8 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -42,7 +43,7 @@ from ultrazoom_tpu.engine.tiling import (
 __all__ = ["UpscaleService"]
 
 
-@dataclass(eq=False)  # identity semantics: requests live in a set
+@dataclass(eq=False)  # identity semantics: requests live in the outstanding set
 class _Request:
     plan: TilePlan
     future: Future
@@ -67,8 +68,17 @@ class UpscaleService:
             On breach the service fails ALL outstanding futures with
             RuntimeError and refuses new submits — callers unblock and
             rebuild the service (a fresh process/service is the observed
-            cure; the stuck call itself cannot be cancelled in-process).
-            None (default) disables the monitor.
+            cure; the stuck call itself cannot be cancelled in-process,
+            so the wedged call is abandoned on its helper thread).
+            None (default) disables the deadline; the device call then
+            runs inline on the worker thread with no extra hop.
+
+    Failure semantics: ANY exception escaping the device step or the
+    stitcher — not just a deadline breach — fails every outstanding
+    future with that error and closes the service.  The compiled graph
+    is shared by all requests, so a device-side failure is not
+    recoverable per-batch; stranding futures (the pre-round-4 behavior)
+    is never an option.
     """
 
     def __init__(
@@ -102,20 +112,38 @@ class UpscaleService:
             return y
 
         self._fn = jax.jit(wrapped)
+        self._call_timeout = call_timeout_s
         self._jobs: queue.Queue = queue.Queue()
         self._closed = threading.Event()
+        self._failure: Exception | None = None  # set once, before _closed
+        self._outstanding: set[_Request] = set()
+        self._outstanding_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "tiles": 0, "batches": 0, "padded_slots": 0}
+        # The deadline runs the device call on this single helper thread so
+        # the worker can give up waiting; a wedged RPC parks here forever
+        # (daemon=True: it dies with the process, the only possible cleanup).
+        self._device_pool = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="upscale-device")
+            if call_timeout_s is not None
+            else None
+        )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # -- public API ----------------------------------------------------------
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue an (H, W, 3) float [0,1] image; resolves to (H*s, W*s, 3)."""
-        assert not self._closed.is_set(), "service is closed"
+        """Enqueue an (H, W, 3) float [0,1] image; resolves to (H*s, W*s, 3).
+
+        Raises RuntimeError if the service is closed — including after a
+        worker failure or deadline breach (the original cause is chained).
+        """
+        if self._closed.is_set():
+            raise RuntimeError("UpscaleService is closed") from self._failure
         img = np.asarray(image)
-        assert img.ndim == 3, "submit one HWC image per call"
+        if img.ndim != 3:
+            raise ValueError(f"submit one HWC image per call, got shape {img.shape}")
         plan = plan_tiles(img.shape, self.scale, self.tile, self.overlap)
         tiles = extract_tiles(img, plan)
         req = _Request(
@@ -124,6 +152,12 @@ class UpscaleService:
             cores=[None] * plan.num_tiles,
             remaining=plan.num_tiles,
         )
+        with self._outstanding_lock:
+            # Re-check under the lock: a concurrent failure between the top
+            # check and here must not enqueue work the dead worker won't run.
+            if self._closed.is_set():
+                raise RuntimeError("UpscaleService is closed") from self._failure
+            self._outstanding.add(req)
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["tiles"] += plan.num_tiles
@@ -142,6 +176,9 @@ class UpscaleService:
     def close(self) -> None:
         self._closed.set()
         self._worker.join(timeout=10)
+        if self._device_pool is not None:
+            # Never wait: a wedged device call would block forever.
+            self._device_pool.shutdown(wait=False)
 
     # -- worker --------------------------------------------------------------
 
@@ -164,25 +201,61 @@ class UpscaleService:
                 break
         return batch
 
+    def _device_call(self, x: np.ndarray) -> np.ndarray:
+        """One device step, under the configured deadline (if any)."""
+        if self._device_pool is None:
+            return np.asarray(self._fn(jnp.asarray(x)))
+        fut = self._device_pool.submit(lambda: np.asarray(self._fn(jnp.asarray(x))))
+        try:
+            return fut.result(timeout=self._call_timeout)
+        except FutureTimeoutError:
+            # The call cannot be cancelled; abandon it on the helper thread.
+            raise RuntimeError(
+                f"device step exceeded call_timeout_s={self._call_timeout}: "
+                "backend wedged — rebuild the service in a fresh process"
+            ) from None
+
+    def _fail_all(self, exc: Exception) -> None:
+        """Fail every outstanding future, close the service, drain the queue."""
+        self._failure = exc
+        with self._outstanding_lock:
+            self._closed.set()  # under the lock: fences concurrent submits
+            pending = list(self._outstanding)
+            self._outstanding.clear()
+        for req in pending:
+            if not req.future.done():
+                req.future.set_exception(exc)
+        try:
+            while True:
+                self._jobs.get_nowait()
+        except queue.Empty:
+            pass
+
     def _run(self):
         c = 3
         while not (self._closed.is_set() and self._jobs.empty()):
             batch = self._collect_batch()
             if not batch:
                 continue
-            n = len(batch)
-            x = np.zeros((self.tile_batch, self.tile, self.tile, c), np.float32)
-            for i, (_, _, t) in enumerate(batch):
-                x[i] = t
-            out = np.asarray(self._fn(jnp.asarray(x)))
-            with self._stats_lock:
-                self._stats["batches"] += 1
-                self._stats["padded_slots"] += self.tile_batch - n
-            for i, (req, k, _) in enumerate(batch):
-                with req.lock:
-                    req.cores[k] = out[i]
-                    req.remaining -= 1
-                    done = req.remaining == 0
-                if done:
-                    sr = stitch_cores(np.stack(req.cores), req.plan)
-                    req.future.set_result(sr)
+            try:
+                n = len(batch)
+                x = np.zeros((self.tile_batch, self.tile, self.tile, c), np.float32)
+                for i, (_, _, t) in enumerate(batch):
+                    x[i] = t
+                out = self._device_call(x)
+                with self._stats_lock:
+                    self._stats["batches"] += 1
+                    self._stats["padded_slots"] += self.tile_batch - n
+                for i, (req, k, _) in enumerate(batch):
+                    with req.lock:
+                        req.cores[k] = out[i]
+                        req.remaining -= 1
+                        done = req.remaining == 0
+                    if done:
+                        sr = stitch_cores(np.stack(req.cores), req.plan)
+                        with self._outstanding_lock:
+                            self._outstanding.discard(req)
+                        req.future.set_result(sr)
+            except Exception as exc:  # noqa: BLE001 — anything → fail, never strand
+                self._fail_all(exc)
+                return

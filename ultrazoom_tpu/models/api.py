@@ -215,19 +215,20 @@ class MewZoom(_Base):
 
     def serve(
         self, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
-        compute_dtype=None, output_dtype="float32",
+        compute_dtype=None, output_dtype="float32", call_timeout_s=None,
     ):
         """Dynamic-batching serving handle (engine/serve.py): concurrent
         requests of any size share fixed-shape device batches.
         ``output_dtype="uint8"`` quantises on device — 4x less D2H (the
-        dominant cost for large outputs)."""
+        dominant cost for large outputs).  ``call_timeout_s`` bounds one
+        device step; on breach all futures fail and the service closes."""
         from ultrazoom_tpu.engine.serve import UpscaleService
 
         mat = _tr.materialize(self.params)
         fn = partial(_unet.upscale, mat, cfg=self.cfg, compute_dtype=compute_dtype)
         return UpscaleService(
             fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
-            output_dtype=output_dtype,
+            output_dtype=output_dtype, call_timeout_s=call_timeout_s,
         )
 
 
@@ -338,11 +339,12 @@ class MewZoomCtrl(_Base):
 
     def serve(
         self, c=None, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
-        compute_dtype=None, output_dtype="float32",
+        compute_dtype=None, output_dtype="float32", call_timeout_s=None,
     ):
         """Dynamic-batching serving handle with a fixed control vector
         (engine/serve.py).  ``output_dtype="uint8"`` quantises on device —
-        4x less D2H."""
+        4x less D2H.  ``call_timeout_s`` bounds one device step; on breach
+        all futures fail and the service closes."""
         from ultrazoom_tpu.engine.serve import UpscaleService
 
         mat = _tr.materialize(self.params)
@@ -362,7 +364,7 @@ class MewZoomCtrl(_Base):
 
         return UpscaleService(
             fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
-            output_dtype=output_dtype,
+            output_dtype=output_dtype, call_timeout_s=call_timeout_s,
         )
 
     def tiled(
