@@ -67,6 +67,25 @@ def test_balanced_multitask_floor_caps_amplification():
     assert abs(float(balanced_multitask(healthy, floor=1e-4)) - 3.0) < 1e-6
 
 
+def test_balanced_multitask_post_normalisation_weights():
+    """Weights scale each task AFTER gradient normalisation — a
+    pre-multiplier would cancel inside l_i / sg(l_i).  All-ones weights are
+    exactly the unweighted combiner (the reference recipe)."""
+    losses = jnp.asarray([1.0, 10.0, 100.0])
+    w = jnp.asarray([1.0, 1.0, 1.0])
+    assert float(balanced_multitask(losses, weights=w)) == float(
+        balanced_multitask(losses)
+    )
+    w = jnp.asarray([1.0, 0.5, 2.0])
+    g = jax.grad(lambda l: balanced_multitask(l, weights=w))(losses)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 0.05, 0.02], rtol=1e-6)
+    # Pre-multiplying the losses instead would NOT change gradients
+    # (w/(w*l) = 1/l) — the failure mode the post-normalisation design
+    # avoids.
+    g_pre = jax.grad(lambda l: balanced_multitask(l * w))(losses)
+    np.testing.assert_allclose(np.asarray(g_pre), [1.0, 0.1, 0.01], rtol=1e-6)
+
+
 def test_adaptive_multitask():
     p = adaptive_multitask_init(3)
     losses = jnp.asarray([1.0, 2.0, 3.0])

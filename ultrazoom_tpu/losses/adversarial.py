@@ -43,7 +43,8 @@ def relativistic_bce(
 
 
 def balanced_multitask(
-    losses: jax.Array, floor: float | None = 1e-4
+    losses: jax.Array, floor: float | None = 1e-4,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """sum(l_i / stop_grad(l_i)) — every task's gradient normalised to equal
     magnitude; the value is always the number of tasks (loss.py:82-93).
@@ -60,11 +61,18 @@ def balanced_multitask(
     bit-deterministically) was BIT-IDENTICAL with and without the floor —
     no divisor ever dipped below 1e-4 there; phase D pinned that incident
     on edge-of-stability lr instead.  Pass ``floor=None`` for the
-    reference's exact unclamped behaviour."""
+    reference's exact unclamped behaviour.
+
+    ``weights`` (optional) scales each task AFTER its gradient
+    normalisation (a pre-multiplier would cancel in ``l_i / sg(l_i)``);
+    None means all-ones, the reference's equal-weight behaviour."""
     div = jax.lax.stop_gradient(losses)
     if floor is not None:
         div = jnp.maximum(div, floor)
-    return jnp.sum(losses / div)
+    normalized = losses / div
+    if weights is not None:
+        normalized = normalized * weights
+    return jnp.sum(normalized)
 
 
 def adaptive_multitask_init(num_losses: int) -> dict:

@@ -54,6 +54,10 @@ def main(argv=None) -> None:
                    "trainers' test-set transform)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_dataset_processes", type=int, default=8)
+    p.add_argument(
+        "--max_images", type=int, default=None,
+        help="cache only the first N source images (subset experiments)",
+    )
     args = p.parse_args(argv)
 
     deg = DegradationConfig(
@@ -71,6 +75,8 @@ def main(argv=None) -> None:
     ds = ImageFolder(
         args.images_path, args.target_resolution, args.upscale_ratio, deg, aug
     )
+    if args.max_images is not None:
+        ds.paths = ds.paths[: args.max_images]
     meta = build_sample_cache(
         ds, args.out,
         num_variants=args.num_variants,

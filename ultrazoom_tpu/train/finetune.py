@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--critic_model_size", default="small", choices=("small", "medium", "large")
     )
+    p.add_argument(
+        "--feature_match_weight", type=float, default=1.0,
+        help="post-normalisation weight on the critic stage2/stage3 "
+        "feature-matching terms (1.0 = the reference's equal-weight recipe)",
+    )
+    p.add_argument(
+        "--adversarial_weight", type=float, default=1.0,
+        help="post-normalisation weight on the generator's adversarial BCE "
+        "term (1.0 = the reference's equal-weight recipe)",
+    )
     p.add_argument("--activation_checkpointing", action="store_true")
     p.add_argument(
         "--remat_policy", default="auto", choices=("auto", "full", "hidden"),
@@ -215,11 +225,15 @@ def main(argv=None) -> None:
         step_fn = make_ctrl_finetune_step(
             cfg, c_cfg, u_opt, c_opt,
             remat=remat, compute_dtype=compute_dtype,
+            feature_match_weight=args.feature_match_weight,
+            adversarial_weight=args.adversarial_weight,
         )
     else:
         step_fn = make_finetune_step(
             cfg, c_cfg, u_opt, c_opt,
             remat=remat, compute_dtype=compute_dtype,
+            feature_match_weight=args.feature_match_weight,
+            adversarial_weight=args.adversarial_weight,
         )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:

@@ -381,6 +381,8 @@ def _make_gan_step(
     c_optimizer: optax.GradientTransformation,
     remat: bool = False,
     compute_dtype=None,
+    feature_match_weight: float = 1.0,
+    adversarial_weight: float = 1.0,
 ) -> Callable:
     """Shared two-phase RaGAN step scaffolding (fine-tune.py:240-330).
 
@@ -398,6 +400,13 @@ def _make_gan_step(
 
     ``warmup`` is a static argument: during critic warm-up epochs only
     phase A runs (fine-tune.py:247, 288).
+
+    ``feature_match_weight`` / ``adversarial_weight`` scale the critic
+    feature-matching terms (stage2/stage3 L2) and the adversarial BCE
+    *after* the balanced combiner's per-term gradient normalisation —
+    a pre-multiplier would cancel inside ``l_i / stop_grad(l_i)``.  At the
+    defaults (1.0) the step is exactly the reference recipe
+    (fine-tune.py:288-311); they exist for the round-4 GAN recipe sweep.
     """
 
     critic_remat = bool(remat)  # selective policies are generator-side only
@@ -420,21 +429,33 @@ def _make_gan_step(
         fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
         real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
         terms = [
-            ("pixel_l2", _mse(sr, batch["y"])),
-            ("stage2_l2", _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1]))),
-            ("stage3_l2", _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2]))),
+            ("pixel_l2", _mse(sr, batch["y"]), 1.0),
+            (
+                "stage2_l2",
+                _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1])),
+                feature_match_weight,
+            ),
+            (
+                "stage3_l2",
+                _mse(fake_outs[2], jax.lax.stop_gradient(real_outs[2])),
+                feature_match_weight,
+            ),
         ]
-        terms += list(extra_gen_terms(outputs, batch))
+        terms += [(n, v, 1.0) for n, v in extra_gen_terms(outputs, batch)]
         # Swapped labels: generator wants fakes classified real
         # (fine-tune.py:300).
         terms.append(
             (
                 "upscaler_bce",
                 relativistic_bce(real_outs[-1], fake_outs[-1], y_fake, y_real),
+                adversarial_weight,
             )
         )
-        total = balanced_multitask(jnp.stack([v for _, v in terms]))
-        return total, dict(terms)
+        total = balanced_multitask(
+            jnp.stack([v for _, v, _ in terms]),
+            weights=jnp.asarray([w for _, _, w in terms], jnp.float32),
+        )
+        return total, {n: v for n, v, _ in terms}
 
     def step(state: GanTrainState, batch, warmup: bool):
         batch = normalize_batch(batch)
@@ -504,6 +525,8 @@ def make_finetune_step(
     c_optimizer: optax.GradientTransformation,
     remat: bool = False,
     compute_dtype=None,
+    feature_match_weight: float = 1.0,
+    adversarial_weight: float = 1.0,
 ) -> Callable:
     """Stage-2 GAN step for the 0.3.0 U-Net: the shared two-phase recipe
     plus the QA/degradation generator term (see :func:`_make_gan_step`)."""
@@ -524,6 +547,8 @@ def make_finetune_step(
         c_optimizer=c_optimizer,
         remat=remat,
         compute_dtype=compute_dtype,
+        feature_match_weight=feature_match_weight,
+        adversarial_weight=adversarial_weight,
     )
 
 
@@ -534,6 +559,8 @@ def make_ctrl_finetune_step(
     c_optimizer: optax.GradientTransformation,
     remat: bool = False,
     compute_dtype=None,
+    feature_match_weight: float = 1.0,
+    adversarial_weight: float = 1.0,
 ) -> Callable:
     """Stage-2 GAN step for the controllable 0.1.x/0.2.x architecture —
     the family of every published HF checkpoint, which the reference also
@@ -560,4 +587,6 @@ def make_ctrl_finetune_step(
         c_optimizer=c_optimizer,
         remat=remat,
         compute_dtype=compute_dtype,
+        feature_match_weight=feature_match_weight,
+        adversarial_weight=adversarial_weight,
     )
