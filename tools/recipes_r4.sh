@@ -41,7 +41,7 @@ unet_s1)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 8 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --upscaler_learning_rate 1e-4 \
-    --num_epochs 80 --early_stop_patience 6 --lr_schedule cosine --cosine_epochs 64 \
+    --num_epochs 56 --early_stop_patience 6 --lr_schedule cosine --cosine_epochs 48 \
     --activation_checkpointing \
     --checkpoint_path $CKPT/r4_unet_s1 --run_dir_path runs/r4_unet_s1 \
     --seed 400 ;;
