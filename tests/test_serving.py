@@ -151,6 +151,34 @@ def test_call_timeout_fires_and_fails_outstanding():
         svc.close()
 
 
+def test_core_sink_benchmark_mode_values():
+    """core_sink resolves to one scalar per tile == the mean of the real
+    stitched cores (full compute runs; only readback shrinks)."""
+    svc = _service(core_sink=True, output_dtype="uint8")
+    ref = _service(output_dtype="uint8")
+    try:
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0, 1, (20, 28, 3)).astype(np.float32)
+        sinks = svc.upscale(img)
+        full = ref.upscale(img)
+        assert full.shape == (40, 56, 3)  # normal mode untouched
+        # Recompute the expected per-tile core means through the same
+        # geometry (20x28 @ tile16/ov4 -> 3x4=12 core tiles of 16x16).
+        from ultrazoom_tpu.engine.tiling import extract_tiles, plan_tiles
+
+        plan = plan_tiles(img.shape, 2, 16, 4)
+        assert sinks.shape == (plan.num_tiles,) == (12,)
+        tiles = extract_tiles(img, plan)
+        sr = np.asarray(upsample2d(tiles, 2))
+        cores = sr[:, 8:24, 8:24, :]  # overlap*scale=8, core*scale=16
+        q = np.round(np.clip(cores, 0, 1) * 255.0)
+        want = q.reshape(12, -1).mean(axis=1)
+        np.testing.assert_allclose(sinks, want, atol=1e-3)
+    finally:
+        svc.close()
+        ref.close()
+
+
 def test_call_timeout_noop_on_healthy_fn():
     """With a generous deadline a healthy service behaves identically."""
     svc = _service(call_timeout_s=120.0)

@@ -79,6 +79,14 @@ class UpscaleService:
     is shared by all requests, so a device-side failure is not
     recoverable per-batch; stranding futures (the pre-round-4 behavior)
     is never an option.
+
+    ``core_sink=True`` is a BENCHMARK-ONLY mode: the full SR compute and
+    core crop run on device, but each tile reduces to one scalar (mean)
+    before readback, and a request's future resolves to the (num_tiles,)
+    scalar vector instead of the stitched image.  This isolates
+    engine + compute throughput from output D2H — on a tunnel-attached
+    dev chip the D2H link (~40 MB/s) otherwise dominates any large-output
+    measurement (tools/bench_suite.py compute-only scenarios).
     """
 
     def __init__(
@@ -91,6 +99,7 @@ class UpscaleService:
         max_wait_ms: float = 5.0,
         output_dtype: str = "float32",
         call_timeout_s: float | None = None,
+        core_sink: bool = False,
     ):
         assert output_dtype in ("float32", "uint8")
         self.scale = scale
@@ -98,6 +107,7 @@ class UpscaleService:
         self.overlap = overlap
         self.tile_batch = tile_batch
         self.max_wait = max_wait_ms / 1e3
+        self._core_sink = core_sink
 
         ovs = overlap * scale
         cores = (tile - 2 * overlap) * scale
@@ -109,6 +119,9 @@ class UpscaleService:
                 # Quantise on device: 4x less D2H (see engine/infer.py).
                 y = jnp.round(jnp.clip(y.astype(jnp.float32), 0, 1) * 255.0)
                 y = y.astype(jnp.uint8)
+            if core_sink:
+                # Benchmark mode: one scalar per tile leaves the device.
+                y = jnp.mean(y.astype(jnp.float32), axis=(1, 2, 3))
             return y
 
         self._fn = jax.jit(wrapped)
@@ -252,10 +265,13 @@ class UpscaleService:
                         req.remaining -= 1
                         done = req.remaining == 0
                     if done:
-                        sr = stitch_cores(np.stack(req.cores), req.plan)
+                        if self._core_sink:
+                            result = np.stack(req.cores)  # (num_tiles,) scalars
+                        else:
+                            result = stitch_cores(np.stack(req.cores), req.plan)
                         with self._outstanding_lock:
                             self._outstanding.discard(req)
-                        req.future.set_result(sr)
+                        req.future.set_result(result)
             except Exception as exc:  # noqa: BLE001 — anything → fail, never strand
                 self._fail_all(exc)
                 return
