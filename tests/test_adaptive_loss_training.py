@@ -11,6 +11,9 @@ from ultrazoom_tpu.train.steps import (
     make_adaptive_optimizer,
     wrap_params_with_loss_combiner,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
 
 TINY_CFG = unet.MewZoomConfig(
     upscale_ratio=2,

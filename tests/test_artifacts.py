@@ -13,6 +13,8 @@ import pathlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
+
 ARTIFACTS = sorted(
     d for d in pathlib.Path("artifacts").glob("*") if (d / "config.json").exists()
 ) if pathlib.Path("artifacts").is_dir() else []

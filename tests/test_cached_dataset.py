@@ -11,6 +11,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
+
 
 @pytest.fixture(scope="module")
 def image_dir(tmp_path_factory):

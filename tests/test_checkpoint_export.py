@@ -30,6 +30,7 @@ def _state(seed=0):
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)), opt
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     state, opt = _state()
     vgg = init_vgg19_features(seed=0)
@@ -74,6 +75,7 @@ def test_stablehlo_export_roundtrip(tmp_path):
     parity_check(fn, loaded, (x, c))  # reference ONNX-gate tolerances
 
 
+@pytest.mark.slow
 def test_bf16_compute_meets_fidelity_target():
     """bf16 inference must stay >=40 dB PSNR vs the f32 path (the
     BASELINE.json fidelity budget is vs the torch f32 reference; f32 parity
@@ -90,6 +92,7 @@ def test_bf16_compute_meets_fidelity_target():
     assert psnr >= 40.0, psnr
 
 
+@pytest.mark.slow
 def test_bf16_unet_fidelity():
     params = unet.init(jax.random.key(1), TINY_CFG)
     rng = np.random.default_rng(3)

@@ -12,6 +12,8 @@ import pathlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
+
 TINY_MODEL_FLAGS = [
     "--num_primary_channels", "8", "--num_primary_layers", "2",
     "--num_secondary_channels", "12", "--num_secondary_layers", "2",

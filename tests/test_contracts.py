@@ -96,6 +96,7 @@ def test_weight_norm_structure():
     assert mat["unet"]["encoder"]["stage1"][0]["convnet"]["conv1"]["weight"].ndim == 4
 
 
+@pytest.mark.slow
 def test_lora_structure_and_shapes():
     cfg = unet.MewZoomConfig(upscale_ratio=2, **TINY)
     params = add_lora(unet.init(jax.random.key(0), cfg), 4, 2.0, jax.random.key(1))
@@ -117,6 +118,7 @@ def test_inverted_bottleneck_param_formula():
     assert block["conv2"]["weight"].size == 3 * 3 * h * c
 
 
+@pytest.mark.slow
 def test_bouncer_logit_bounds_and_predict():
     cfg = bouncer.BouncerConfig(
         primary_channels=8, primary_layers=1, secondary_channels=12,

@@ -47,6 +47,7 @@ def test_non_controllable_has_no_film_params():
     "preset,expected_millions",
     [("2x", 1.8), ("3x", 3.5), ("4x", 14.0)],
 )
+@pytest.mark.slow
 def test_preset_param_counts_match_readme(preset, expected_millions):
     """README.md:35-42 publishes 1.8M / 3.5M / 14M for 2X/3X/4X."""
     model = MewZoomCtrl.from_preset(preset)
@@ -62,6 +63,7 @@ def test_control_vector_validation_and_tensor():
         ctrl.ControlVector(gaussian_blur=1.5)
 
 
+@pytest.mark.slow
 def test_film_matches_torch_semantics():
     """Golden check of one Ctrl block against an equivalent torch-core graph."""
     torch = pytest.importorskip("torch")

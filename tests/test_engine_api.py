@@ -134,6 +134,7 @@ def test_weight_norm_api_identity():
     np.testing.assert_allclose(y0, y2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lora_api_starts_as_identity():
     model = _tiny_unet(seed=8)
     x = np.random.default_rng(8).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
@@ -199,6 +200,7 @@ def test_ctrl_weight_norm_covers_all_convs_and_is_identity():
     np.testing.assert_allclose(y0, y2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ctrl_lora_covers_body_and_starts_as_identity():
     model = MewZoomCtrl.from_config(
         MewZoomCtrl.Config(upscale_ratio=3, num_channels=8, num_layers=2), seed=10

@@ -5,6 +5,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
+
 
 @pytest.fixture(scope="module")
 def trained_checkpoint(tmp_path_factory):

@@ -14,6 +14,8 @@ from jax.experimental import pallas as pl
 
 from ultrazoom_tpu.ops import conv2d
 
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):

@@ -9,6 +9,9 @@ from ultrazoom_tpu.models import unet
 from ultrazoom_tpu.nn import add_lora
 from ultrazoom_tpu.train import TrainState, make_pretrain_step
 from ultrazoom_tpu.train.lora import make_lora_optimizer
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast default subset
 
 TINY_CFG = unet.MewZoomConfig(
     upscale_ratio=2,

@@ -17,9 +17,9 @@ from ultrazoom_tpu.convert import torch_state_dict_to_tree
 from ultrazoom_tpu.models import unet
 from ultrazoom_tpu.nn import materialize
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference snapshot or torch unavailable"
-)
+)]
 
 
 def _forward_torch(model, x_nchw):

@@ -1,6 +1,7 @@
 """model.serve() on both model classes + mesh-sharded finetune step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +84,7 @@ def test_tiled_mesh_divisibility_guard():
         TiledUpscaler(lambda x: x, scale=1, tile=16, overlap=4, tile_batch=6, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_finetune_step_on_mesh():
     """GAN step data-parallel over the 8-device CPU mesh."""
     from ultrazoom_tpu.nn.transforms import spectral_init_state

@@ -52,6 +52,7 @@ def _batch(b=2, s=16, ratio=2, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_pretrain_step_decreases_loss():
     params = unet.init(jax.random.key(0), TINY_CFG)
     vgg = init_vgg19_features(seed=0)
@@ -68,6 +69,7 @@ def test_pretrain_step_decreases_loss():
     assert int(state.step) == 16
 
 
+@pytest.mark.slow
 def test_pretrain_step_bf16_compute():
     """Training must work under the CLI's default bf16 compute policy
     (regression: f32-preferred conv accumulation broke the autodiff
@@ -86,6 +88,7 @@ def test_pretrain_step_bf16_compute():
     assert np.isfinite(float(m2["pixel_l2"]))
 
 
+@pytest.mark.slow
 def test_finetune_step_bf16_compute():
     u_params = unet.init(jax.random.key(6), TINY_CFG)
     c_params = bouncer.init(jax.random.key(7), TINY_CRITIC)
@@ -107,6 +110,7 @@ def test_finetune_step_bf16_compute():
     assert np.isfinite(float(m["pixel_l2"]))
 
 
+@pytest.mark.slow
 def test_pretrain_step_remat_matches():
     params = unet.init(jax.random.key(1), TINY_CFG)
     vgg = init_vgg19_features(seed=0)
@@ -121,6 +125,7 @@ def test_pretrain_step_remat_matches():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_large_batch():
     params = unet.init(jax.random.key(2), TINY_CFG)
     vgg = init_vgg19_features(seed=0)
@@ -145,6 +150,7 @@ def test_gradient_accumulation_matches_large_batch():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_finetune_step_runs_both_phases():
     u_params = unet.init(jax.random.key(3), TINY_CFG)
     c_params = bouncer.init(jax.random.key(4), TINY_CRITIC)
@@ -215,6 +221,7 @@ def test_bouncer_preset_sizes():
         assert cfg.quaternary_channels > cfg.primary_channels
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     devs = jax.devices()
     assert len(devs) >= 8, "conftest should force 8 virtual CPU devices"
@@ -245,6 +252,7 @@ def test_data_parallel_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_ctrl_pretrain_mesh_matches_single_device():
     """Ctrl pretrain under the 8-device mesh == single device: the scan
     body + FiLM einsum + `hidden` remat + adaptive combiner composed under

@@ -97,6 +97,7 @@ def _pretrain_args(dataset, ckpt, runs, epochs):
     ]
 
 
+@pytest.mark.slow
 def test_auto_resume_retry_contract(dataset, tmp_path):
     """The exact command a supervisor retries: fresh start on an empty
     checkpoint dir, resume (not restart) once a checkpoint exists."""
