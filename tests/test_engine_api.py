@@ -54,6 +54,51 @@ def test_tiled_model_interior_matches_whole():
     assert np.quantile(diff, 0.9) < 5e-3
 
 
+@pytest.mark.slow
+def test_x8_trains_and_tiles_beyond_shape_checks():
+    """x8 end to end beyond parity/shape checks (VERDICT r3 #7): a tiny x8
+    U-Net (a) takes pretrain steps that decrease pixel loss, (b) streams a
+    tiled upscale whose interior agrees with the whole-image forward, and
+    (c) serves through the dynamic-batching service at scale 8."""
+    from ultrazoom_tpu.train import TrainState, make_optimizer
+    from ultrazoom_tpu.train.steps import make_pretrain_step
+
+    model = _tiny_unet(ratio=8)
+    cfg = model.cfg
+    opt = make_optimizer(3e-3, 1.0)
+    step = jax.jit(make_pretrain_step(cfg, opt, None, loss_combiner="pixel"))
+    params = model.params
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    y = np.repeat(np.repeat(x, 8, axis=1), 8, axis=2)
+    batch = {
+        "x": jnp.asarray(x), "y": jnp.asarray(y),
+        "y_deg": jnp.asarray(rng.uniform(0, 1, (2, 3)), jnp.float32),
+    }
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["pixel_l2"]))
+    assert losses[-1] < losses[0], losses
+
+    trained = MewZoom(cfg, state.params)
+    img = rng.uniform(0, 1, (24, 40, 3)).astype(np.float32)
+    whole = np.asarray(trained.upscale(img))
+    tiled = trained.upscale(img, tile=16, overlap=4, tile_batch=4)
+    assert tiled.shape == whole.shape == (192, 320, 3)
+    diff = np.abs(tiled[64:-64, 64:-64] - whole[64:-64, 64:-64])
+    assert np.quantile(diff, 0.9) < 5e-3
+
+    svc = trained.serve(tile=16, overlap=4, tile_batch=4)
+    try:
+        out = svc.upscale(img)
+        assert out.shape == (192, 320, 3)
+        np.testing.assert_allclose(out, tiled, atol=1e-5)
+    finally:
+        svc.close()
+
+
 def test_tiled_mesh_sharded_matches_single_device():
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("data",))
