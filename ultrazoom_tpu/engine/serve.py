@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ultrazoom_tpu.engine.ensemble import make_self_ensemble
 from ultrazoom_tpu.engine.tiling import (
     TilePlan,
     extract_tiles,
@@ -100,7 +101,12 @@ class UpscaleService:
         output_dtype: str = "float32",
         call_timeout_s: float | None = None,
         core_sink: bool = False,
+        self_ensemble: bool = False,
     ):
+        if self_ensemble:
+            # x8 geometric TTA per tile (engine/ensemble.py): one 8x-batch
+            # model call inside the same compiled step.
+            upscale_fn = make_self_ensemble(upscale_fn)
         assert output_dtype in ("float32", "uint8")
         self.scale = scale
         self.tile = tile

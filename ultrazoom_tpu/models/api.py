@@ -23,6 +23,7 @@ import numpy as np
 
 from ultrazoom_tpu.convert.torch_import import torch_state_dict_to_tree
 from ultrazoom_tpu.engine.batching import dispatch_batched
+from ultrazoom_tpu.engine.ensemble import make_self_ensemble
 from ultrazoom_tpu.engine.infer import TiledUpscaler
 from ultrazoom_tpu.export import hf
 from ultrazoom_tpu.models import ctrl as _ctrl
@@ -154,15 +155,19 @@ class MewZoom(_Base):
     def _jitted(self, name, compute_dtype):
         key = (name, compute_dtype)
         if key not in self._cache:
-            fn = {
-                "forward": _unet.apply,
-                "upscale": _unet.upscale,
-                "qa": _unet.predict_degradation,
-            }[name]
             mat = _tr.materialize(self.params)
-            self._cache[key] = jax.jit(
-                partial(fn, mat, cfg=self.cfg, compute_dtype=compute_dtype)
-            )
+            if name == "upscale_se":
+                fn = make_self_ensemble(
+                    partial(_unet.upscale, mat, cfg=self.cfg, compute_dtype=compute_dtype)
+                )
+            else:
+                base = {
+                    "forward": _unet.apply,
+                    "upscale": _unet.upscale,
+                    "qa": _unet.predict_degradation,
+                }[name]
+                fn = partial(base, mat, cfg=self.cfg, compute_dtype=compute_dtype)
+            self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
     def forward(self, x, compute_dtype=None):
@@ -172,15 +177,20 @@ class MewZoom(_Base):
 
     def upscale(
         self, x, compute_dtype=None, tile: int | None = None,
-        batch_dispatch: bool = True, **tile_kw,
+        batch_dispatch: bool = True, self_ensemble: bool = False, **tile_kw,
     ):
         """SR inference; pass ``tile=`` to stream large images through the
         fixed-shape overlap-tile engine.  ``batch_dispatch`` decomposes
         intermediate batch sizes into known-fast anchor shapes
-        (engine/batching.py) — disable to force one graph per batch size."""
+        (engine/batching.py) — disable to force one graph per batch size.
+        ``self_ensemble`` averages the x8 geometric TTA views
+        (engine/ensemble.py; ~8x FLOPs for the classic ~0.1-0.2 dB gain)."""
         x, squeeze = _ensure_nhwc(x)
         if tile is not None:
-            eng = self.tiled(tile=tile, compute_dtype=compute_dtype, **tile_kw)
+            eng = self.tiled(
+                tile=tile, compute_dtype=compute_dtype,
+                self_ensemble=self_ensemble, **tile_kw,
+            )
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
         if tile_kw:
@@ -191,7 +201,7 @@ class MewZoom(_Base):
                 f"upscale() got unexpected arguments {sorted(tile_kw)}; "
                 "tile-engine options require tile=."
             )
-        fn = self._jitted("upscale", compute_dtype)
+        fn = self._jitted("upscale_se" if self_ensemble else "upscale", compute_dtype)
         out = dispatch_batched(fn, x) if batch_dispatch else fn(x)
         return out[0] if squeeze else out
 
@@ -216,6 +226,7 @@ class MewZoom(_Base):
     def serve(
         self, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
         compute_dtype=None, output_dtype="float32", call_timeout_s=None,
+        self_ensemble=False,
     ):
         """Dynamic-batching serving handle (engine/serve.py): concurrent
         requests of any size share fixed-shape device batches.
@@ -229,6 +240,7 @@ class MewZoom(_Base):
         return UpscaleService(
             fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
             output_dtype=output_dtype, call_timeout_s=call_timeout_s,
+            self_ensemble=self_ensemble,
         )
 
 
@@ -297,9 +309,32 @@ class MewZoomCtrl(_Base):
             )
         return self._cache[key]
 
+    def _jitted_se(self, compute_dtype):
+        key = ("upscale_se", compute_dtype)
+        if key not in self._cache:
+            mat = _tr.materialize(self.params)
+
+            def fn(x, c):
+                # The ensemble wrapper widens the batch (8B square / 4B+4B
+                # otherwise); the per-image control rows ride along tiled.
+                def inner(xt):
+                    cc = (
+                        None
+                        if c is None
+                        else jnp.tile(c, (xt.shape[0] // x.shape[0], 1))
+                    )
+                    return _ctrl.upscale(
+                        mat, xt, cc, cfg=self.cfg, compute_dtype=compute_dtype
+                    )
+
+                return make_self_ensemble(inner)(x)
+
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
     def upscale(
         self, x, c=None, compute_dtype=None, tile: int | None = None,
-        batch_dispatch: bool = True, **tile_kw,
+        batch_dispatch: bool = True, self_ensemble: bool = False, **tile_kw,
     ):
         if isinstance(c, dict):
             c = _ctrl.ControlVector(**c)  # validates field names and ranges
@@ -313,7 +348,10 @@ class MewZoomCtrl(_Base):
             if c.shape[0] == 1:
                 c = jnp.broadcast_to(c, (x.shape[0], 3))
         if tile is not None:
-            eng = self.tiled(c=c, tile=tile, compute_dtype=compute_dtype, **tile_kw)
+            eng = self.tiled(
+                c=c, tile=tile, compute_dtype=compute_dtype,
+                self_ensemble=self_ensemble, **tile_kw,
+            )
             out = eng(np.asarray(x))
             return out[0] if squeeze else out
         if tile_kw:
@@ -321,7 +359,7 @@ class MewZoomCtrl(_Base):
                 f"upscale() got unexpected arguments {sorted(tile_kw)}; "
                 "tile-engine options require tile=."
             )
-        fn = self._jitted(compute_dtype)
+        fn = self._jitted_se(compute_dtype) if self_ensemble else self._jitted(compute_dtype)
         out = (
             dispatch_batched(lambda xx, cc: fn(xx, cc), x, c)
             if batch_dispatch
@@ -340,6 +378,7 @@ class MewZoomCtrl(_Base):
     def serve(
         self, c=None, tile=256, overlap=16, tile_batch=8, max_wait_ms=5.0,
         compute_dtype=None, output_dtype="float32", call_timeout_s=None,
+        self_ensemble=False,
     ):
         """Dynamic-batching serving handle with a fixed control vector
         (engine/serve.py).  ``output_dtype="uint8"`` quantises on device —
@@ -365,6 +404,7 @@ class MewZoomCtrl(_Base):
         return UpscaleService(
             fn, self.cfg.upscale_ratio, tile, overlap, tile_batch, max_wait_ms,
             output_dtype=output_dtype, call_timeout_s=call_timeout_s,
+            self_ensemble=self_ensemble,
         )
 
     def tiled(
