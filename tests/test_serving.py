@@ -97,9 +97,11 @@ def test_worker_exception_fails_all_futures_and_closes():
     exceptionally (never strand them) and close the service to new submits
     (VERDICT r3 Missing #1 / Weak #1)."""
     calls = []
+    submitted = threading.Event()  # hold the failure until all submits land
 
     def boom(x):
         calls.append(1)
+        submitted.wait(timeout=60)
         raise ValueError("synthetic device failure")
 
     svc = UpscaleService(
@@ -111,6 +113,7 @@ def test_worker_exception_fails_all_futures_and_closes():
             svc.submit(rng.uniform(0, 1, (24, 24, 3)).astype(np.float32))
             for _ in range(4)
         ]
+        submitted.set()
         for f in futures:
             with pytest.raises(ValueError, match="synthetic device failure"):
                 f.result(timeout=30)
