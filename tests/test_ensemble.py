@@ -120,6 +120,29 @@ def test_tiled_self_ensemble_exact_on_equivariant_fn():
     np.testing.assert_allclose(se(img), plain(img), atol=1e-5, rtol=0)
 
 
+def test_tiled_mesh_sharded_self_ensemble_matches_single_device():
+    """Mesh-sharded tiling x self-ensemble composed: the SE wrapper turns a
+    tile batch of B (sharded over the data axis) into an 8B device call —
+    exactly the kind of composition that breaks only composed."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    model = _tiny_unet(seed=7)
+    fn = model._jitted("upscale", None)
+    img = np.random.default_rng(7).uniform(0, 1, (33, 47, 3)).astype(np.float32)
+    single = TiledUpscaler(
+        fn, 2, tile=16, overlap=4, tile_batch=len(devs), self_ensemble=True
+    )(img)
+    sharded = TiledUpscaler(
+        fn, 2, tile=16, overlap=4, tile_batch=len(devs), mesh=mesh,
+        self_ensemble=True,
+    )(img)
+    assert sharded.shape == (66, 94, 3)
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=0)
+
+
 def test_serve_self_ensemble_smoke():
     from ultrazoom_tpu.engine.serve import UpscaleService
 
