@@ -182,6 +182,7 @@ def test_finetune_cli_end_to_end(dataset, tmp_path):
         "--batch_size", "4", "--gradient_accumulation_steps", "1",
         "--num_epochs", "2", "--critic_warmup_epochs", "1",
         "--eval_interval", "2", "--checkpoint_interval", "2",
+        "--best_checkpoint_metric", "psnr",
         "--checkpoint_path", str(tmp_path / "ft"),
         "--run_dir_path", str(tmp_path / "runs2"),
         "--seed", "0", "--num_dataset_processes", "2",
@@ -194,6 +195,14 @@ def test_finetune_cli_end_to_end(dataset, tmp_path):
     assert "finetune/critic_bce" in tags
     assert "finetune/upscaler_bce" in tags  # phase B ran after warmup
     assert "eval/critic_f1" in tags
+
+    # Best-eval snapshot: GAN evals oscillate, so the shippable state is
+    # the best epoch, not the last. One eval ran (epoch 2) -> one best.
+    best_meta = json.loads((tmp_path / "ft_best" / "meta.json").read_text())
+    assert best_meta["best_metric"] == "psnr"
+    assert best_meta["epoch"] == 2
+    assert np.isfinite(best_meta["best_value"])
+    assert (tmp_path / "ft_best" / "state.npz").exists()
 
 
 def test_pretrain_pixel_mode_and_init_from(dataset, tmp_path):

@@ -29,4 +29,7 @@ if [ $# -ge 2 ]; then
 fi
 
 for st in s1 polish; do eval_one "r4_unet_$st" 2; done
-for g in A B C D; do eval_one "r4_gan$g" 2; done
+for g in A B C D E; do
+  eval_one "r4_gan$g" 2
+  eval_one "r4_gan${g}_best" 2   # --best_checkpoint_metric snapshots
+done

@@ -81,7 +81,17 @@ ganD)
     --critic_model_size medium --upscaler_learning_rate 5e-5 \
     --critic_learning_rate 2e-4 --critic_warmup_epochs 2 \
     --feature_match_weight 2.0 --adversarial_weight 0.5 \
+    --best_checkpoint_metric vif \
     --checkpoint_path $CKPT/r4_ganD --run_dir_path runs/r4_ganD ;;
+
+# ---- ganE: designed from the A-D sweep once it lands (placeholder slot;
+#      the chained queue E fills in the recipe).
+ganE)
+  python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
+    --critic_model_size small --upscaler_learning_rate 5e-5 \
+    --feature_match_weight 4.0 --adversarial_weight 0.25 \
+    --best_checkpoint_metric vif \
+    --checkpoint_path $CKPT/r4_ganE --run_dir_path runs/r4_ganE ;;
 
 # ---- x8 end to end (VERDICT r3 #7): tiny U-Net, {2,4,8} ratio support
 #      exists in the model; exercise the x8 path beyond shape checks.

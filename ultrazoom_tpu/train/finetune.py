@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
         "'hidden' applies to the Ctrl generator scan body only)",
     )
     p.add_argument("--eval_interval", type=int, default=2)
+    p.add_argument(
+        "--best_checkpoint_metric", default="none",
+        choices=("none", "psnr", "ssim", "vif"),
+        help="additionally snapshot the state to <checkpoint_path>_best "
+        "whenever this eval metric improves — GAN evals oscillate, so the "
+        "final state is rarely the shippable one (the reference's "
+        "fine-tune.py keeps only the latest checkpoint; see "
+        "/root/reference/fine-tune.py:382-391)",
+    )
     p.add_argument("--checkpoint_interval", type=int, default=2)
     p.add_argument("--checkpoint_path", default="./checkpoints/finetune")
     p.add_argument("--resume", action="store_true")
@@ -359,6 +368,14 @@ def main(argv=None) -> None:
             checkpointer.save(args.checkpoint_path, state, {"epoch": 0, **base_meta})
     injected = False
 
+    best_metric = args.best_checkpoint_metric
+    best_path = args.checkpoint_path.rstrip("/") + "_best"
+    best_value = -float("inf")
+    if best_metric != "none":
+        prior_best = latest_meta(best_path)
+        if prior_best is not None:  # --auto_resume: keep the old bar
+            best_value = float(prior_best.get("best_value", -float("inf")))
+
     epoch = start_epoch
     while epoch <= args.num_epochs:
         watchdog.beat()
@@ -452,6 +469,24 @@ def main(argv=None) -> None:
                     f"VIF {vf_s / m:.4f}, critic F1 {score:.3f} "
                     f"(P {precision:.3f} / R {recall:.3f})"
                 )
+                if best_metric != "none":
+                    value = {
+                        "psnr": ps_s / m, "ssim": ss_s / m, "vif": vf_s / m,
+                    }[best_metric]
+                    if value > best_value:
+                        best_value = value
+                        checkpointer.save(
+                            best_path, state,
+                            {
+                                "epoch": epoch, **base_meta,
+                                "best_metric": best_metric,
+                                "best_value": best_value,
+                            },
+                        )
+                        print(
+                            f"Best-{best_metric} checkpoint updated at epoch "
+                            f"{epoch} ({best_value:.4f})."
+                        )
 
         if epoch % args.checkpoint_interval == 0:
             checkpointer.save(args.checkpoint_path, state, {"epoch": epoch, **base_meta})
