@@ -7,9 +7,13 @@ module is our reconstruction from the in-repo evidence (SURVEY.md section
 0.1): a flat residual conv body operating at LR resolution, channel-wise
 FiLM control modules conditioned on a 3-dim ControlVector (README.md:88-129,
 validate.py:73-97), a single pixel-shuffle tail supporting x{2,3,4}, and the
-bicubic zoom skip.  Parameter counts reproduce the README table: 2X
-48ch/20L = 1.8M, 3X 54ch/30L = 3.5M, 4X 96ch/40L = 14M (wide-activation
-body, hidden ratio 2).
+bicubic zoom skip.  Parameter counts land close to (not exactly on) the
+README table: 2X 48ch/20L = 1.7M (published "1.8M"), 3X 54ch/30L = 3.2M
+(published "3.5M"), 4X 96ch/40L = 13.4M (published "14M") — wide-activation
+body, hidden ratio 2.  The residual suggests the published models carry
+extra structure this reconstruction lacks (e.g. a tail expansion conv);
+the shape-driven importer (convert/ctrl_import.py) is the absorption
+layer for such surprises, keyed on shapes rather than this exact layout.
 
 TPU-first design notes:
 
