@@ -63,18 +63,20 @@ gan_base)
     --artifact artifacts/mewzoom-tpu-2x-ctrl --out $CKPT/r4_2x_base ;;
 ganA)
   python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
-    --critic_model_size small \
+    --critic_model_size small --best_checkpoint_metric vif \
     --checkpoint_path $CKPT/r4_ganA --run_dir_path runs/r4_ganA ;;
 ganB)
   python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
     --critic_model_size small --upscaler_learning_rate 2e-5 \
     --critic_learning_rate 2e-4 --critic_warmup_epochs 2 \
     --feature_match_weight 2.0 --adversarial_weight 0.5 \
+    --best_checkpoint_metric vif \
     --checkpoint_path $CKPT/r4_ganB --run_dir_path runs/r4_ganB ;;
 ganC)
   python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
     --critic_model_size small --upscaler_learning_rate 2e-5 \
     --feature_match_weight 4.0 --adversarial_weight 0.25 \
+    --best_checkpoint_metric vif \
     --checkpoint_path $CKPT/r4_ganC --run_dir_path runs/r4_ganC ;;
 ganD)
   python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
