@@ -112,31 +112,41 @@ skip commit_pairs || commit_paths "data: held-out fixed-degradation eval pairs (
 # Run a long training stage in the background with a rolling committed
 # snapshot every 45 min, so --auto_resume continues from the last
 # committed epoch after a wipe instead of from scratch.
+#
+# Retries up to 3 attempts: the stages passed here all use
+# --auto_resume, so a watchdog exit (rc=43, wedged tunnel RPC — observed
+# live at s1 epoch 14) or crash relaunches from the last complete
+# checkpoint instead of silently cascading into dependent stages.
 snapshot_run() { # name cmd...
   local name=$1; shift
   if skip "$name"; then log "stage $name skipped"; return 0; fi
-  log "=== stage $name (snapshot-committed) ==="
-  "$@" > "/tmp/stage_$name.log" 2>&1 &
-  local pid=$!
-  echo "$pid" > "/tmp/$name.pid"
-  while kill -0 "$pid" 2>/dev/null; do
-    sleep 2700
-    kill -0 "$pid" 2>/dev/null || break
-    commit_paths "r4 experiment: $name rolling snapshot" \
+  local rc=1
+  for attempt in 1 2 3; do
+    log "=== stage $name (snapshot-committed, attempt $attempt) ==="
+    "$@" > "/tmp/stage_$name.log" 2>&1 &
+    local pid=$!
+    echo "$pid" > "/tmp/$name.pid"
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 2700
+      kill -0 "$pid" 2>/dev/null || break
+      commit_paths "r4 experiment: $name rolling snapshot" \
+        "checkpoints/$name" "runs/$name"
+    done
+    wait "$pid"; rc=$?
+    log "$name attempt $attempt exited rc=$rc"
+    commit_paths "r4 experiment: $name state (attempt $attempt, rc=$rc)" \
       "checkpoints/$name" "runs/$name"
+    [ "$rc" -eq 0 ] && break
   done
-  wait "$pid"; local rc=$?
-  log "$name exited rc=$rc"
-  commit_paths "r4 experiment: $name final state (rc=$rc)" \
-    "checkpoints/$name" "runs/$name"
   return "$rc"
 }
 
 # ---- 1. flagship two-stage: balanced s1 full cosine anneal, then
 #         pixel_ssim polish (the round-3-proven recipe at full budget).
-snapshot_run r4_unet_s1 bash tools/recipes_r4.sh unet_s1
+snapshot_run r4_unet_s1 bash tools/recipes_r4.sh unet_s1 || exit 1
 skip eval_s1 || eval_into r4_unet_s1 2
-snapshot_run r4_unet_polish bash tools/recipes_r4.sh unet_polish
+snapshot_run r4_unet_polish bash tools/recipes_r4.sh unet_polish \
+  || log "polish failed after retries; evaluating its last checkpoint anyway"
 skip eval_polish || eval_into r4_unet_polish 2
 
 # ---- 2. x8 tiny end-to-end.

@@ -25,7 +25,7 @@ DEG="--min_gaussian_blur 0.0 --max_gaussian_blur 1.0 \
      --min_gaussian_noise 0.0 --max_gaussian_noise 0.1 \
      --min_compression 0.0 --max_compression 0.8"
 
-GAN_COMMON="--auto_resume --device_data_budget_gib 6 \
+GAN_COMMON="--auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 \
     --base_checkpoint_path $CKPT/r4_2x_base --target_resolution 256 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --num_epochs 8 --eval_interval 1 --seed 320"
@@ -38,7 +38,7 @@ case "$1" in
 #      budget; early stop deferred until the anneal is ~done) but sized
 #      it to the leftover chip budget.  This is the real run.
 unet_s1)
-  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 8 --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 8 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner balanced --upscaler_learning_rate 1e-4 \
     --num_epochs 56 --early_stop_patience 6 --lr_schedule cosine --cosine_epochs 48 \
@@ -46,7 +46,7 @@ unet_s1)
     --checkpoint_path $CKPT/r4_unet_s1 --run_dir_path runs/r4_unet_s1 \
     --seed 400 ;;
 unet_polish)
-  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 8 --arch unet --upscale_ratio 2 \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 8 --arch unet --upscale_ratio 2 \
     --train_images_path $CACHE/train_2x --test_images_path $CACHE/eval_2x \
     --loss_combiner pixel_ssim --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
     --activation_checkpointing --init_params_from $CKPT/r4_unet_s1 \
@@ -105,7 +105,7 @@ x8_cache)
     --out $CACHE/eval_8x --upscale_ratio 8 --num_variants 1 \
     --target_resolution 256 $DEG --eval --seed 301 ;;
 x8_tiny)
-  python -m ultrazoom_tpu.train.pretrain --auto_resume --device_data_budget_gib 4 --arch unet --upscale_ratio 8 \
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 4 --arch unet --upscale_ratio 8 \
     --num_primary_channels 16 --num_primary_layers 2 --num_secondary_channels 32 --num_secondary_layers 2 \
     --num_tertiary_channels 64 --num_tertiary_layers 2 --num_quaternary_channels 128 --num_quaternary_layers 2 \
     --train_images_path $CACHE/train_8x --test_images_path $CACHE/eval_8x \
