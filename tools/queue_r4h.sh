@@ -65,6 +65,10 @@ log "flagship polish pairs PSNR: ${FP:-absent} (r3 shipped: 23.842, +0.5dB bar: 
 if [ -n "${FP:-}" ] && gt "$FP" 23.842; then
   if bash tools/package_r3.sh r4_unet_polish mewzoom-tpu-2x-unet bfloat16 \
        > /tmp/stage_package_unet.log 2>&1; then
+    # Round-3 policy: the 56M flagship's ~225 MB ONNX is gated during
+    # packaging but NOT committed (README documents regeneration via
+    # tools.export_onnx); dropping it here keeps the artifact at 108 MB.
+    rm -f artifacts/mewzoom-tpu-2x-unet/model.onnx
     eval_artifact mewzoom-tpu-2x-unet 2
     commit_paths "artifacts: round-4 2X U-Net flagship (full-anneal s1 + pixel_ssim polish)" \
       artifacts/mewzoom-tpu-2x-unet docs/eval_r4/artifact_mewzoom-tpu-2x-unet.txt
