@@ -192,3 +192,32 @@ def test_call_timeout_noop_on_healthy_fn():
         assert out.shape == (40, 40, 3)
     finally:
         svc.close()
+
+
+def test_cancelled_future_does_not_kill_service():
+    # A bare Future can be cancel()ed by its holder before the worker
+    # resolves it; set_result on it raises InvalidStateError, which must
+    # not escalate into a service-wide failure.
+    gate = threading.Event()
+
+    def slow_fn(x):
+        gate.wait(timeout=30)
+        return upsample2d(x, 2)
+
+    svc = UpscaleService(
+        slow_fn, scale=2, tile=16, overlap=4, tile_batch=4, max_wait_ms=10.0
+    )
+    try:
+        rng = np.random.default_rng(7)
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        doomed = svc.submit(img)
+        kept = svc.submit(img)
+        assert doomed.cancel()
+        gate.set()
+        out = kept.result(timeout=60)
+        assert out.shape == (32, 32, 3)
+        # Service stayed healthy: new submits still accepted and resolve.
+        assert svc.submit(img).result(timeout=60).shape == (32, 32, 3)
+    finally:
+        gate.set()
+        svc.close()

@@ -277,7 +277,11 @@ class UpscaleService:
                             result = stitch_cores(np.stack(req.cores), req.plan)
                         with self._outstanding_lock:
                             self._outstanding.discard(req)
-                        req.future.set_result(result)
+                        # A bare Future can be cancel()ed by its holder at any
+                        # time before set_result; that must not escalate into a
+                        # service-wide failure via InvalidStateError below.
+                        if not req.future.cancelled():
+                            req.future.set_result(result)
             except Exception as exc:  # noqa: BLE001 — anything → fail, never strand
                 self._fail_all(exc)
                 return
