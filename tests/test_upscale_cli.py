@@ -85,3 +85,34 @@ def test_unet_model(tmp_path):
         "--compute_dtype", "float32",
     ])
     assert Image.open(out).size == (32, 32)
+
+
+def test_directory_batching_whole_image(ctrl_dir, tmp_path):
+    # Same-size frames ride the batch axis; a size change flushes the group.
+    src = tmp_path / "frames"
+    src.mkdir()
+    for i in range(3):
+        _png(src / f"a{i}.png", 16, 16, seed=i)
+    _png(src / "b0.png", 20, 16, seed=9)
+    dst = tmp_path / "sr"
+    main([
+        "--model_path", str(ctrl_dir),
+        "--image_path", str(src),
+        "--output_path", str(dst),
+        "--batch", "2",
+        "--compute_dtype", "float32",
+    ])
+    for i in range(3):
+        assert Image.open(dst / f"a{i}_2x.png").size == (32, 32)
+    assert Image.open(dst / "b0_2x.png").size == (32, 40)
+    # Batched output must equal the single-image path exactly.
+    solo = tmp_path / "solo"
+    main([
+        "--model_path", str(ctrl_dir),
+        "--image_path", str(src / "a1.png"),
+        "--output_path", str(solo / "a1.png"),
+        "--compute_dtype", "float32",
+    ])
+    batched = np.asarray(Image.open(dst / "a1_2x.png"))
+    single = np.asarray(Image.open(solo / "a1.png"))
+    np.testing.assert_array_equal(batched, single)

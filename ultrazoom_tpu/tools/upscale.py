@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "receptive-field halo)")
     p.add_argument("--self_ensemble", action="store_true",
                    help="average the x8 geometric TTA views (~8x FLOPs)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="directory mode: same-size images ride the batch "
+                        "axis in groups of this many (whole-image path "
+                        "only; the tile engine batches tiles itself)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     return p
@@ -105,18 +109,46 @@ def main(argv=None) -> None:
             args.gaussian_blur, args.gaussian_noise, args.jpeg_compression
         )
 
-    for in_path, out_path in zip(inputs, outputs):
-        img = np.asarray(Image.open(in_path).convert("RGB"), np.float32) / 255.0
-        t0 = time.perf_counter()
-        sr = np.asarray(model.upscale(img[None], **kw), np.float32)[0]
-        dt = time.perf_counter() - t0
+    def save(sr, in_path, out_path, in_shape, dt):
         Image.fromarray(
             np.round(np.clip(sr, 0.0, 1.0) * 255).astype(np.uint8), "RGB"
         ).save(out_path)
         print(
-            f"{in_path} {img.shape[1]}x{img.shape[0]} -> {out_path} "
+            f"{in_path} {in_shape[1]}x{in_shape[0]} -> {out_path} "
             f"{sr.shape[1]}x{sr.shape[0]} ({ratio}X, {dt:.2f}s)"
         )
+
+    # Whole-image path: group same-size images so they ride the batch
+    # axis (the anchor dispatcher decomposes any group size into
+    # known-fast compiled shapes).  The tile engine batches tiles itself,
+    # so tiled mode stays one image per call.
+    batch_cap = max(1, args.batch) if args.tile is None else 1
+    pending: list[tuple] = []  # (in_path, out_path, img)
+
+    def flush():
+        if not pending:
+            return
+        x = np.stack([img for _, _, img in pending])
+        t0 = time.perf_counter()
+        sr = np.asarray(model.upscale(x, **kw), np.float32)
+        dt = (time.perf_counter() - t0) / len(pending)
+        for (in_path, out_path, img), s in zip(pending, sr):
+            save(s, in_path, out_path, img.shape, dt)
+        pending.clear()
+
+    for in_path, out_path in zip(inputs, outputs):
+        img = np.asarray(Image.open(in_path).convert("RGB"), np.float32) / 255.0
+        if batch_cap == 1:
+            t0 = time.perf_counter()
+            sr = np.asarray(model.upscale(img[None], **kw), np.float32)[0]
+            save(sr, in_path, out_path, img.shape, time.perf_counter() - t0)
+            continue
+        if pending and pending[0][2].shape != img.shape:
+            flush()
+        pending.append((in_path, out_path, img))
+        if len(pending) >= batch_cap:
+            flush()
+    flush()
 
 
 if __name__ == "__main__":
