@@ -95,6 +95,32 @@ ganE)
     --best_checkpoint_metric vif \
     --checkpoint_path $CKPT/r4_ganE --run_dir_path runs/r4_ganE ;;
 
+# ---- 3X corrected retrain (closes the round-3 negative result): the
+#      r3 3X s1 early-stopped at epoch 36 of a 72-epoch cosine — i.e.
+#      mid-anneal at ~0.7x peak lr — and lost to bicubic; the shipped 3X
+#      artifact is still the round-2 training.  Fix is the recipe shape
+#      the r4 flagship proved: cosine horizon (44) sized INSIDE the
+#      epoch budget (60) so the anneal completes before the early-stop
+#      patience (6) can truncate it, then the pixel_ssim polish.
+x3_s1)
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 --arch ctrl \
+    --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
+    --target_resolution 252 \
+    --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
+    --loss_combiner balanced \
+    --num_epochs 60 --early_stop_patience 6 --lr_schedule cosine --cosine_epochs 44 \
+    --remat_policy hidden \
+    --checkpoint_path $CKPT/r4_3x_s1 --run_dir_path runs/r4_3x_s1 --seed 430 ;;
+x3_polish)
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 --arch ctrl \
+    --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
+    --target_resolution 252 \
+    --train_images_path $CACHE/train_3x --test_images_path $CACHE/eval_3x \
+    --loss_combiner pixel_ssim --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
+    --remat_policy hidden --init_params_from $CKPT/r4_3x_s1 \
+    --checkpoint_path $CKPT/r4_3x_polish --run_dir_path runs/r4_3x_polish \
+    --seed 440 ;;
+
 # ---- x8 end to end (VERDICT r3 #7): tiny U-Net, {2,4,8} ratio support
 #      exists in the model; exercise the x8 path beyond shape checks.
 x8_cache)
