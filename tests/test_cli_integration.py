@@ -77,6 +77,14 @@ def test_pretrain_cli_end_to_end(dataset, tmp_path):
     meta = json.loads((ckpt / "meta.json").read_text())
     assert meta["epoch"] == 3
 
+    # Supervisor-retry of a finished run: the resume-complete fast path
+    # must exit without touching the checkpoint (and without the dataset/
+    # device-cache setup that can outlast the hang watchdog).
+    before = (ckpt / "meta.json").read_text()
+    main(args[:args.index("2", args.index("--num_epochs"))] + ["3"] +
+         args[args.index("--eval_interval"):] + ["--resume"])
+    assert (ckpt / "meta.json").read_text() == before
+
 
 def test_pretrain_cli_ctrl_arch(dataset, tmp_path):
     """--arch ctrl trains the controllable 0.2.x family (restores the

@@ -389,6 +389,16 @@ def main(argv=None) -> None:
         state, meta = restore_state(args.checkpoint_path, state)
         start_epoch = meta["epoch"] + 1
         print(f"Resumed from epoch {meta['epoch']}.")
+        if start_epoch > args.num_epochs:
+            # Fast path for supervisor retries of an already-finished run:
+            # skip dataset setup and the one-time device cache upload (the
+            # upload can outlast --hang_timeout_s and get the no-op run
+            # killed by its own watchdog).
+            print(
+                f"Training already complete (epoch {meta['epoch']} >= "
+                f"num_epochs {args.num_epochs}); nothing to do."
+            )
+            return
 
     remat: bool | str = False
     # An explicit (non-auto) --remat_policy implies activation checkpointing:
