@@ -189,6 +189,48 @@ def test_finetune_step_runs_both_phases():
     assert u_moved
 
 
+def test_gan_term_weights_change_gradients_not_losses():
+    """pixel/feature-match/adversarial weights are POST-normalisation
+    multipliers: reported per-term losses are identical at any weight
+    (they would cancel inside l_i / stop_grad(l_i) as pre-multipliers),
+    while the generator update direction changes."""
+    u_params = unet.init(jax.random.key(3), TINY_CFG)
+    c_params = bouncer.init(jax.random.key(4), TINY_CRITIC)
+    sn = spectral_init_state(c_params, jax.random.key(5), bouncer.spectral_norm_paths)
+    u_opt = make_optimizer(1e-4, 1.0)
+    c_opt = make_optimizer(5e-4, 5.0)
+    state = GanTrainState(
+        u_params, u_opt.init(u_params), c_params, c_opt.init(c_params), sn,
+        jnp.zeros((), jnp.int32),
+    )
+    batch = _batch(seed=3)
+
+    step1 = jax.jit(
+        make_finetune_step(TINY_CFG, TINY_CRITIC, u_opt, c_opt),
+        static_argnames="warmup",
+    )
+    step3 = jax.jit(
+        make_finetune_step(
+            TINY_CFG, TINY_CRITIC, u_opt, c_opt, pixel_weight=3.0
+        ),
+        static_argnames="warmup",
+    )
+    s1, m1 = step1(state, batch, warmup=False)
+    s3, m3 = step3(state, batch, warmup=False)
+    for k in m1:
+        if k.endswith("_grad_norm"):
+            continue  # gradient magnitudes legitimately depend on the weights
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m3[k]), rtol=1e-6,
+            err_msg=f"term {k} must not depend on post-norm weights",
+        )
+    diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s1.u_params), jax.tree.leaves(s3.u_params))
+    )
+    assert diff, "pixel_weight must steer the generator update"
+
+
 def test_spectral_norm_scales_to_unit_sigma():
     c_params = bouncer.init(jax.random.key(6), TINY_CRITIC)
     sn = spectral_init_state(c_params, jax.random.key(7), bouncer.spectral_norm_paths)

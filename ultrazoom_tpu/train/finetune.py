@@ -84,6 +84,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="post-normalisation weight on the generator's adversarial BCE "
         "term (1.0 = the reference's equal-weight recipe)",
     )
+    p.add_argument(
+        "--pixel_weight", type=float, default=1.0,
+        help="post-normalisation weight on the generator's pixel L2 anchor "
+        "(1.0 = the reference's equal-weight recipe; >1 slows the stage's "
+        "distortion-for-VIF trade, see the round-4 sweep)",
+    )
+    p.add_argument(
+        "--best_psnr_floor", type=float, default=None,
+        help="with --best_checkpoint_metric: only epochs whose eval PSNR is "
+        ">= this floor are eligible for the _best snapshot — selects 'best "
+        "perceptual metric subject to a distortion bar' (unconstrained "
+        "best-VIF lands at an unshippable distortion point; see the "
+        "round-4 sweep)",
+    )
     p.add_argument("--activation_checkpointing", action="store_true")
     p.add_argument(
         "--remat_policy", default="auto", choices=("auto", "full", "hidden"),
@@ -246,6 +260,7 @@ def main(argv=None) -> None:
             remat=remat, compute_dtype=compute_dtype,
             feature_match_weight=args.feature_match_weight,
             adversarial_weight=args.adversarial_weight,
+            pixel_weight=args.pixel_weight,
         )
     else:
         step_fn = make_finetune_step(
@@ -253,6 +268,7 @@ def main(argv=None) -> None:
             remat=remat, compute_dtype=compute_dtype,
             feature_match_weight=args.feature_match_weight,
             adversarial_weight=args.adversarial_weight,
+            pixel_weight=args.pixel_weight,
         )
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
@@ -483,7 +499,11 @@ def main(argv=None) -> None:
                     value = {
                         "psnr": ps_s / m, "ssim": ss_s / m, "vif": vf_s / m,
                     }[best_metric]
-                    if value > best_value:
+                    eligible = (
+                        args.best_psnr_floor is None
+                        or ps_s / m >= args.best_psnr_floor
+                    )
+                    if eligible and value > best_value:
                         best_value = value
                         checkpointer.save(
                             best_path, state,

@@ -383,6 +383,7 @@ def _make_gan_step(
     compute_dtype=None,
     feature_match_weight: float = 1.0,
     adversarial_weight: float = 1.0,
+    pixel_weight: float = 1.0,
 ) -> Callable:
     """Shared two-phase RaGAN step scaffolding (fine-tune.py:240-330).
 
@@ -401,12 +402,15 @@ def _make_gan_step(
     ``warmup`` is a static argument: during critic warm-up epochs only
     phase A runs (fine-tune.py:247, 288).
 
-    ``feature_match_weight`` / ``adversarial_weight`` scale the critic
-    feature-matching terms (stage2/stage3 L2) and the adversarial BCE
-    *after* the balanced combiner's per-term gradient normalisation —
-    a pre-multiplier would cancel inside ``l_i / stop_grad(l_i)``.  At the
-    defaults (1.0) the step is exactly the reference recipe
-    (fine-tune.py:288-311); they exist for the round-4 GAN recipe sweep.
+    ``feature_match_weight`` / ``adversarial_weight`` / ``pixel_weight``
+    scale the critic feature-matching terms (stage2/stage3 L2), the
+    adversarial BCE, and the pixel L2 anchor *after* the balanced
+    combiner's per-term gradient normalisation — a pre-multiplier would
+    cancel inside ``l_i / stop_grad(l_i)``.  At the defaults (1.0) the
+    step is exactly the reference recipe (fine-tune.py:288-311); they
+    exist for the round-4 GAN recipe sweep (the sweep showed the stage
+    trades distortion for VIF continuously, so the distortion-anchoring
+    pixel weight is the lever that moves the trade's slope).
     """
 
     critic_remat = bool(remat)  # selective policies are generator-side only
@@ -429,7 +433,7 @@ def _make_gan_step(
         fake_outs, _ = critic_forward(c_params, sn_state, sr, False)
         real_outs, _ = critic_forward(c_params, sn_state, batch["y"], False)
         terms = [
-            ("pixel_l2", _mse(sr, batch["y"]), 1.0),
+            ("pixel_l2", _mse(sr, batch["y"]), pixel_weight),
             (
                 "stage2_l2",
                 _mse(fake_outs[1], jax.lax.stop_gradient(real_outs[1])),
@@ -527,6 +531,7 @@ def make_finetune_step(
     compute_dtype=None,
     feature_match_weight: float = 1.0,
     adversarial_weight: float = 1.0,
+    pixel_weight: float = 1.0,
 ) -> Callable:
     """Stage-2 GAN step for the 0.3.0 U-Net: the shared two-phase recipe
     plus the QA/degradation generator term (see :func:`_make_gan_step`)."""
@@ -549,6 +554,7 @@ def make_finetune_step(
         compute_dtype=compute_dtype,
         feature_match_weight=feature_match_weight,
         adversarial_weight=adversarial_weight,
+        pixel_weight=pixel_weight,
     )
 
 
@@ -561,6 +567,7 @@ def make_ctrl_finetune_step(
     compute_dtype=None,
     feature_match_weight: float = 1.0,
     adversarial_weight: float = 1.0,
+    pixel_weight: float = 1.0,
 ) -> Callable:
     """Stage-2 GAN step for the controllable 0.1.x/0.2.x architecture —
     the family of every published HF checkpoint, which the reference also
@@ -589,4 +596,5 @@ def make_ctrl_finetune_step(
         compute_dtype=compute_dtype,
         feature_match_weight=feature_match_weight,
         adversarial_weight=adversarial_weight,
+        pixel_weight=pixel_weight,
     )
