@@ -102,11 +102,20 @@ skip commit_ganE || {
   eval_into r4_ganE_best 2
 }
 
+# ---- 1b. ganF (stride-halved control of A; recipes_r4.sh ganF).
+retry ganF bash tools/recipes_r4.sh ganF
+skip commit_ganF || {
+  commit_paths "r4 experiment: GAN sweep F checkpoint + run log" \
+    checkpoints/r4_ganF checkpoints/r4_ganF_best runs/r4_ganF
+  eval_into r4_ganF 2
+  eval_into r4_ganF_best 2
+}
+
 # ---- 2. GAN winner gate: best VIF among candidates with
 #         PSNR > r3-shipped-GAN (24.641) AND VIF > polish base (0.4737).
 skip gan_gate || {
   best=""; best_vif=0.4737
-  for g in A B C D E; do
+  for g in A B C D E F; do
     for ck in "r4_gan${g}_best" "r4_gan$g"; do
       f="docs/eval_r4/$ck.txt"
       [ -f "$f" ] || continue

@@ -100,6 +100,17 @@ ganE)
     --best_checkpoint_metric vif --best_psnr_floor 21.85 \
     --checkpoint_path $CKPT/r4_ganE --run_dir_path runs/r4_ganE ;;
 
+# ---- ganF: the other way to slow A's trade — halve the generator's
+#      STRIDE (lr 5e-5) while keeping every loss weight and the critic
+#      recipe exactly A's (D confounded its gen-lr cut with damped
+#      weights AND a halved critic lr, which collapsed the critic to
+#      BCE ln2 — no signal at all).  Same floor-gated selection as E.
+ganF)
+  python -m ultrazoom_tpu.train.finetune $GAN_COMMON \
+    --critic_model_size small --upscaler_learning_rate 5e-5 \
+    --best_checkpoint_metric vif --best_psnr_floor 21.85 \
+    --checkpoint_path $CKPT/r4_ganF --run_dir_path runs/r4_ganF ;;
+
 # ---- 3X corrected retrain (closes the round-3 negative result): the
 #      r3 3X s1 early-stopped at epoch 36 of a 72-epoch cosine — i.e.
 #      mid-anneal at ~0.7x peak lr — and lost to bicubic; the shipped 3X
