@@ -8,7 +8,7 @@
 #                         the polish base's VIF (0.4737) - i.e. the stage
 #                         must actually buy perceptual quality over its
 #                         own starting point, not just beat last round
-#   tta                 - self-ensemble rows for the README table
+
 #   bench_suite / bench - perf refresh (incl. compute-only rows)
 #   x3_s1 / x3_polish   - corrected 3X retrain (cosine inside budget;
 #                         closes the round-3 negative result)
@@ -140,37 +140,21 @@ skip gan_gate || {
   fi
 }
 
-# ---- 3. TTA (self-ensemble) rows.
-skip tta || {
-  mkdir -p docs/eval_r4
-  for target in checkpoints/r4_unet_polish \
-                artifacts/mewzoom-tpu-2x-ctrl artifacts/mewzoom-tpu-4x-ctrl; do
-    [ -d "$target" ] || { echo "-- $target absent, skipped"; continue; }
-    r=2; case "$target" in *4x*) r=4;; esac
-    echo "== $target + self-ensemble (pairs_r3_${r}x) =="
-    python -m ultrazoom_tpu.tools.validate --model_path "$target" \
-      --lr_images_path "pairs_r3_${r}x/lr" --hr_images_path "pairs_r3_${r}x/hr" \
-      $CV --self_ensemble 2>/dev/null | grep -v WARNING
-  done > docs/eval_r4/tta.txt 2>&1
-  commit_paths "eval: self-ensemble (TTA) rows" docs/eval_r4/tta.txt
-}
+# ---- 3. corrected 3X retrain (recipes_r4.sh x3_s1/x3_polish).  Runs
+#         BEFORE the TTA/bench rows: if the session dies mid-queue, a
+#         shippable 3X artifact beats refreshed perf rows.  An s1
+#         failure skips the rest of the 3X chain but NOT sections 5/6.
+if snapshot_run r4_3x_s1 bash tools/recipes_r4.sh x3_s1; then
+  skip eval_3x_s1 || eval_into r4_3x_s1 3
+  snapshot_run r4_3x_polish bash tools/recipes_r4.sh x3_polish \
+    || log "x3_polish failed after retries; evaluating its last checkpoint anyway"
+  skip eval_3x_polish || eval_into r4_3x_polish 3
+else
+  log "x3_s1 failed after retries; skipping the 3X chain"
+  SKIP="$SKIP x3_gate "
+fi
 
-# ---- 4. perf refresh.
-skip bench_suite || {
-  timeout 3600 python -m ultrazoom_tpu.tools.bench_suite \
-    > docs/eval_r4/bench_suite.txt 2>&1 || log "bench_suite FAILED/timed out"
-  commit_paths "bench: round-4 suite refresh" docs/eval_r4/bench_suite.txt
-}
-skip bench || python bench.py > /tmp/bench_r4.log 2>&1 || log "bench.py FAILED"
-
-# ---- 5. corrected 3X retrain (recipes_r4.sh x3_s1/x3_polish).
-snapshot_run r4_3x_s1 bash tools/recipes_r4.sh x3_s1 || exit 1
-skip eval_3x_s1 || eval_into r4_3x_s1 3
-snapshot_run r4_3x_polish bash tools/recipes_r4.sh x3_polish \
-  || log "x3_polish failed after retries; evaluating its last checkpoint anyway"
-skip eval_3x_polish || eval_into r4_3x_polish 3
-
-# ---- 6. 3X packaging gate: every metric must beat the shipped round-2
+# ---- 4. 3X packaging gate: every metric must beat the shipped round-2
 #         artifact (pairs_r3_3x: 23.590 / 0.5788 / 0.3937).
 skip x3_gate || {
   bestck=""
@@ -199,5 +183,28 @@ skip x3_gate || {
     log "3X retrain does not beat the round-2 artifact on all metrics; keeping it"
   fi
 }
+
+# ---- 5. TTA (self-ensemble) rows.
+skip tta || {
+  mkdir -p docs/eval_r4
+  for target in checkpoints/r4_unet_polish \
+                artifacts/mewzoom-tpu-2x-ctrl artifacts/mewzoom-tpu-4x-ctrl; do
+    [ -d "$target" ] || { echo "-- $target absent, skipped"; continue; }
+    r=2; case "$target" in *4x*) r=4;; esac
+    echo "== $target + self-ensemble (pairs_r3_${r}x) =="
+    python -m ultrazoom_tpu.tools.validate --model_path "$target" \
+      --lr_images_path "pairs_r3_${r}x/lr" --hr_images_path "pairs_r3_${r}x/hr" \
+      $CV --self_ensemble 2>/dev/null | grep -v WARNING
+  done > docs/eval_r4/tta.txt 2>&1
+  commit_paths "eval: self-ensemble (TTA) rows" docs/eval_r4/tta.txt
+}
+
+# ---- 6. perf refresh.
+skip bench_suite || {
+  timeout 3600 python -m ultrazoom_tpu.tools.bench_suite \
+    > docs/eval_r4/bench_suite.txt 2>&1 || log "bench_suite FAILED/timed out"
+  commit_paths "bench: round-4 suite refresh" docs/eval_r4/bench_suite.txt
+}
+skip bench || python bench.py > /tmp/bench_r4.log 2>&1 || log "bench.py FAILED"
 
 log "queue r4i complete"
