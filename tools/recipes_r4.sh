@@ -111,13 +111,14 @@ ganF)
     --best_checkpoint_metric vif --best_psnr_floor 21.85 \
     --checkpoint_path $CKPT/r4_ganF --run_dir_path runs/r4_ganF ;;
 
-# ---- 3X corrected retrain (closes the round-3 negative result): the
-#      r3 3X s1 early-stopped at epoch 36 of a 72-epoch cosine — i.e.
-#      mid-anneal at ~0.7x peak lr — and lost to bicubic; the shipped 3X
-#      artifact is still the round-2 training.  Fix is the recipe shape
-#      the r4 flagship proved: cosine horizon (44) sized INSIDE the
-#      epoch budget (60) so the anneal completes before the early-stop
-#      patience (6) can truncate it, then the pixel_ssim polish.
+# ---- 3X retrain (SUPERSEDED, kept for the record): written on the
+#      stale premise that the round-3 3X negative result was still open.
+#      It was already closed inside round 3 — the cosine-horizon rerun
+#      (`--cosine_epochs 72`, early-stop ep 70) re-shipped the artifact
+#      at 23.874/0.5912/0.3962 (commit ccc074e) — so a 44-epoch-horizon
+#      rerun would only measure seed noise.  The x4_* stages below apply
+#      the same budget to the one family member actually still trained
+#      under the truncated-anneal pathology.
 x3_s1)
   python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 --arch ctrl \
     --num_channels 54 --num_encoder_layers 30 --upscale_ratio 3 \
@@ -136,6 +137,31 @@ x3_polish)
     --remat_policy hidden --init_params_from $CKPT/r4_3x_s1 \
     --checkpoint_path $CKPT/r4_3x_polish --run_dir_path runs/r4_3x_polish \
     --seed 440 ;;
+
+# ---- 4X corrected-anneal retrain: the shipped 4X (r3, +1.07 dB)
+#      early-stopped its adaptive s1 at epoch 56 of a 100-epoch cosine —
+#      lr still at ~0.41x peak, the same mid-anneal truncation that cost
+#      the first r3 3X run 0.8 dB and the r3 flagship 0.5 dB.  Same fix
+#      as both: cosine horizon (56, matching the useful training length
+#      r3 demonstrated) sized INSIDE the epoch budget (64) so the anneal
+#      completes before early-stop patience (6) can truncate it, then
+#      the pixel_ssim polish.  4X is the headline benchmark model.
+x4_s1)
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 --arch ctrl \
+    --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
+    --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
+    --loss_combiner adaptive \
+    --num_epochs 64 --early_stop_patience 6 --lr_schedule cosine --cosine_epochs 56 \
+    --remat_policy hidden \
+    --checkpoint_path $CKPT/r4_4x_s1 --run_dir_path runs/r4_4x_s1 --seed 450 ;;
+x4_polish)
+  python -m ultrazoom_tpu.train.pretrain --auto_resume --hang_timeout_s 600 --device_data_budget_gib 6 --arch ctrl \
+    --num_channels 96 --num_encoder_layers 40 --upscale_ratio 4 \
+    --train_images_path $CACHE/train_4x --test_images_path $CACHE/eval_4x \
+    --loss_combiner pixel_ssim --num_epochs 30 --early_stop_patience 5 --upscaler_learning_rate 5e-5 \
+    --remat_policy hidden --init_params_from $CKPT/r4_4x_s1 \
+    --checkpoint_path $CKPT/r4_4x_polish --run_dir_path runs/r4_4x_polish \
+    --seed 460 ;;
 
 # ---- x8 end to end (VERDICT r3 #7): tiny U-Net, {2,4,8} ratio support
 #      exists in the model; exercise the x8 path beyond shape checks.
